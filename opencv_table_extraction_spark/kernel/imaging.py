@@ -1,0 +1,200 @@
+"""Imaging primitives A3-A10 (SURVEY.md §2.A), pure NumPy.
+
+Parity contract: these reimplement, from public algorithm definitions, the
+OpenCV calls the reference repo's title promises but whose code is absent
+from its tree (reference = README.md:1 + test2.py:1-13 only; see
+SURVEY.md §0). Semantics follow the canonical OpenCV recipe "Extract
+horizontal and vertical lines by using morphological operations":
+
+  cv2.cvtColor(BGR2GRAY)                        -> to_gray
+  cv2.threshold(THRESH_BINARY_INV|THRESH_OTSU)  -> otsu_threshold
+  cv2.adaptiveThreshold(~g, MEAN_C, 15, -2)     -> adaptive_threshold
+  cv2.erode / cv2.dilate (MORPH_RECT SE)        -> erode / dilate
+  open with (cols//scale, 1) / (1, rows//scale) -> morph_open_h / morph_open_v
+  cv2.bitwise_and(h, v)                         -> mask_intersect
+  cv2.add(h, v)                                 -> grid_mask
+
+Erode/dilate use the van Herk / Gil-Werman O(1)-per-pixel running
+min/max (separable for rectangular structuring elements), so cost is
+independent of SE size — this is what keeps the kernel viable inside
+Arrow batches at 10^12-turn scale.
+
+Binary masks are uint8 with ink=255, background=0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "to_gray",
+    "otsu_threshold",
+    "adaptive_threshold",
+    "erode",
+    "dilate",
+    "morph_open",
+    "morph_open_h",
+    "morph_open_v",
+    "mask_intersect",
+    "grid_mask",
+]
+
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """BT.601 luma conversion; pass-through for already-gray images."""
+    if img.ndim == 2:
+        return np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected HxW or HxWx3, got {img.shape}")
+    g = img.astype(np.float64) @ _LUMA
+    return np.clip(np.rint(g), 0, 255).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> tuple[int, np.ndarray]:
+    """Otsu (1979) global threshold, inverted binary (ink -> 255).
+
+    Maximizes inter-class variance over the 256-bin histogram; class 0 is
+    bins [0..t]. Ties resolve to the smallest t (np.argmax), so the result
+    is deterministic. Matches THRESH_BINARY_INV: pixels <= t become 255.
+    """
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0, np.zeros_like(gray, dtype=np.uint8)
+    p = hist / total
+    omega = np.cumsum(p)
+    mu = np.cumsum(p * np.arange(256, dtype=np.float64))
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    sigma_b = np.zeros(256, dtype=np.float64)
+    valid = denom > 1e-12
+    sigma_b[valid] = (mu_t * omega[valid] - mu[valid]) ** 2 / denom[valid]
+    thr = int(np.argmax(sigma_b))
+    binary = np.where(gray <= thr, 255, 0).astype(np.uint8)
+    return thr, binary
+
+
+def adaptive_threshold(
+    gray: np.ndarray, block: int = 15, C: int = -2
+) -> np.ndarray:
+    """Mean-of-neighborhood adaptive threshold, inverted binary (ink=255).
+
+    Equivalent to the public recipe
+    ``cv2.adaptiveThreshold(~gray, 255, ADAPTIVE_THRESH_MEAN_C,
+    THRESH_BINARY, block, C)``: working on the photometric inverse, a
+    pixel is ink iff inv(x) > local_mean(inv) - C. Local mean is computed
+    with an integral image over the window clipped to the image (border
+    windows average only in-bounds pixels), O(H*W) independent of block.
+    """
+    if block < 3 or block % 2 == 0:
+        raise ValueError("block must be an odd integer >= 3")
+    inv = (255 - gray).astype(np.float64)
+    H, W = inv.shape
+    ii = np.zeros((H + 1, W + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(inv, axis=0), axis=1, out=ii[1:, 1:])
+    r = block // 2
+    ys = np.arange(H)
+    xs = np.arange(W)
+    y0 = np.clip(ys - r, 0, H)[:, None]
+    y1 = np.clip(ys + r + 1, 0, H)[:, None]
+    x0 = np.clip(xs - r, 0, W)[None, :]
+    x1 = np.clip(xs + r + 1, 0, W)[None, :]
+    s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    cnt = (y1 - y0) * (x1 - x0)
+    mean = s / cnt
+    return np.where(inv > mean - C, 255, 0).astype(np.uint8)
+
+
+def _running_extremum_1d(
+    x: np.ndarray, k: int, ufunc: np.ufunc, pad_value: int, reflect: bool = False
+) -> np.ndarray:
+    """van Herk / Gil-Werman running extremum along the last axis.
+
+    Centered anchor (left = (k-1)//2, right = k//2), constant-padded with
+    `pad_value` so the output has the input's width. Three passes total,
+    cost independent of k. ``reflect=True`` swaps the anchor to the
+    reflected SE (needed by the dilation half of an opening when k is
+    even, so open(open(x)) == open(x) exactly).
+    """
+    if k <= 1:
+        return x
+    l, r = (k - 1) // 2, k // 2
+    if reflect:
+        l, r = r, l
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(l, r)], constant_values=pad_value)
+    W = xp.shape[-1]
+    nb = -(-W // k)
+    tail = nb * k - W
+    if tail:
+        xp = np.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, tail)], constant_values=pad_value)
+    blocks = xp.reshape(*xp.shape[:-1], nb, k)
+    g = ufunc.accumulate(blocks, axis=-1).reshape(*xp.shape[:-1], nb * k)
+    h = ufunc.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
+        *xp.shape[:-1], nb * k
+    )
+    n_out = x.shape[-1]
+    idx = np.arange(n_out)
+    return ufunc(h[..., idx], g[..., idx + k - 1])
+
+
+def _morph(
+    bin_img: np.ndarray,
+    se: tuple[int, int],
+    ufunc: np.ufunc,
+    pad: int,
+    reflect: bool = False,
+) -> np.ndarray:
+    kh, kw = se
+    out = bin_img
+    if kw > 1:
+        out = _running_extremum_1d(out, kw, ufunc, pad, reflect)
+    if kh > 1:
+        out = _running_extremum_1d(
+            np.ascontiguousarray(out.T), kh, ufunc, pad, reflect
+        ).T
+    return np.ascontiguousarray(out, dtype=np.uint8)
+
+
+def erode(bin_img: np.ndarray, se: tuple[int, int]) -> np.ndarray:
+    """Morphological erosion with a rectangular SE (separable running min).
+
+    Out-of-image neighborhood is treated as 255 (does not shrink at the
+    border), matching OpenCV's default replicate-ish behavior for erosion.
+    """
+    return _morph(bin_img, se, np.minimum, 255)
+
+
+def dilate(bin_img: np.ndarray, se: tuple[int, int], reflect: bool = False) -> np.ndarray:
+    """Morphological dilation with a rectangular SE (separable running max)."""
+    return _morph(bin_img, se, np.maximum, 0, reflect)
+
+
+def morph_open(bin_img: np.ndarray, se: tuple[int, int]) -> np.ndarray:
+    """Opening = erode by SE, dilate by the *reflected* SE — the textbook
+    definition; the reflection only matters for even SE sizes, where it
+    keeps surviving runs at their exact original position."""
+    return dilate(erode(bin_img, se), se, reflect=True)
+
+
+def morph_open_h(bin_img: np.ndarray, scale: int = 20, min_k: int = 5) -> np.ndarray:
+    """Keep only horizontal line strokes: open with SE (1, W//scale)."""
+    k = max(min_k, bin_img.shape[1] // scale)
+    return morph_open(bin_img, (1, k))
+
+
+def morph_open_v(bin_img: np.ndarray, scale: int = 20, min_k: int = 5) -> np.ndarray:
+    """Keep only vertical line strokes: open with SE (H//scale, 1)."""
+    k = max(min_k, bin_img.shape[0] // scale)
+    return morph_open(bin_img, (k, 1))
+
+
+def mask_intersect(h_mask: np.ndarray, v_mask: np.ndarray) -> np.ndarray:
+    """Grid joints = horizontal AND vertical line masks (cv2.bitwise_and)."""
+    return np.minimum(h_mask, v_mask)
+
+
+def grid_mask(h_mask: np.ndarray, v_mask: np.ndarray) -> np.ndarray:
+    """Full line lattice = horizontal OR vertical line masks (cv2.add)."""
+    return np.maximum(h_mask, v_mask)
