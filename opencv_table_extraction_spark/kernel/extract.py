@@ -10,6 +10,7 @@ fragment exactly (test2.py:3-12, see kernel/router.py).
 
 from __future__ import annotations
 
+import time
 import zlib
 from typing import Iterable, Iterator
 
@@ -56,6 +57,10 @@ OUT_FIELDS: list[tuple[str, pa.DataType]] = [
     ("n_cells", pa.int32()),
     ("n_joints", pa.int32()),
     ("err", pa.string()),
+    # per-turn kernel wall time in microseconds — feeds per-partition
+    # lineage counters and the skew report (BASELINE.json:6); NOT part of
+    # the deterministic-equality column set.
+    ("proc_us", pa.int64()),
 ]
 
 
@@ -165,6 +170,7 @@ def extract_batch(
         texts = batch.column("text").to_pylist()
         cols: dict[str, list] = {name: [] for name, _ in OUT_FIELDS}
         for cid, tix, txt in zip(conv_ids, turn_idxs, texts):
+            t0 = time.perf_counter()
             try:
                 row = extract_turn(txt or "", use_adaptive=use_adaptive)
             except Exception as e:  # noqa: BLE001 — lineage-counted
@@ -176,5 +182,6 @@ def extract_batch(
             for k in ("route", "extracted_text", "spans", "n_rows", "n_cols",
                       "n_cells", "n_joints", "err"):
                 cols[k].append(row[k])
+            cols["proc_us"].append(int((time.perf_counter() - t0) * 1e6))
         arrays = [pa.array(cols[name], type=typ) for name, typ in OUT_FIELDS]
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)

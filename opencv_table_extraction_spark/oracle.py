@@ -33,6 +33,7 @@ def run_oracle(transcripts: pa.Table, use_adaptive: bool = False) -> pa.Table:
         for k in ("route", "extracted_text", "spans", "n_rows", "n_cols",
                   "n_cells", "n_joints", "err"):
             cols[k].append(row[k])
+        cols["proc_us"].append(0)  # timing is not part of the oracle contract
     schema = arrow_out_schema()
     return pa.table({n: pa.array(cols[n], type=t) for n, t in OUT_FIELDS}, schema=schema)
 

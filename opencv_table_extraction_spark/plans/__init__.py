@@ -1,0 +1,8 @@
+from .pipeline import (  # noqa: F401
+    OUT_SCHEMA,
+    extract_transcripts,
+    lineage_summary,
+    ordered_output,
+    transcripts_from_tpch,
+    with_turn_seq,
+)

@@ -1,0 +1,219 @@
+"""Layer B — Spark DataFrame pipeline builders (SURVEY.md §2.B).
+
+Everything here is declarative DataFrame API so Catalyst owns pushdown,
+pruning, and join strategy; the single Python boundary is the
+``mapInArrow`` kernel call (B4). Stage map (BASELINE.json:6):
+
+  B1 scan -> B2 filter -> B3 prune -> B9 salt/repartition ->
+  B4 mapInArrow(extract_batch) -> B5 window(turn order) ->
+  B6 range sort -> B13 sink (+ B8 lineage aggregation)
+
+At 100 TB the salting shuffle is the only wide stage before the kernel;
+it exists to break up hot conversations when the source is
+conv_id-clustered (BASELINE.json:6 "skewed conversations are salted and
+AQE-split"). When the source layout is already size-balanced (plain
+parquet split by bytes), pass ``salt_buckets=None`` and the kernel map
+runs narrow, straight off the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.extract import extract_batch
+
+__all__ = [
+    "OUT_SCHEMA",
+    "extract_transcripts",
+    "ordered_output",
+    "lineage_summary",
+    "transcripts_from_tpch",
+]
+
+SPAN_TYPE = StructType(
+    [
+        StructField("row", IntegerType()),
+        StructField("col", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("route", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("n_rows", IntegerType()),
+        StructField("n_cols", IntegerType()),
+        StructField("n_cells", IntegerType()),
+        StructField("n_joints", IntegerType()),
+        StructField("err", StringType()),
+        StructField("proc_us", LongType()),
+    ]
+)
+
+
+def extract_transcripts(
+    df: DataFrame,
+    salt_buckets: int | None = 8,
+    repartition_to: int | None = None,
+    use_adaptive: bool = False,
+    add_turn_seq: bool = True,
+) -> DataFrame:
+    """The extraction pipeline body (B2-B5) over a transcript DataFrame.
+
+    B3: only (conv_id, turn_idx, text) cross the Arrow boundary — Catalyst
+    prunes everything else out of the scan (check ReadSchema in explain).
+    B9: per-turn salting `hash(turn_idx) % salt_buckets` *within* conv_id
+    spreads hot conversations over multiple tasks; per-turn extraction is
+    embarrassingly parallel, so correctness never depends on grouping.
+    B5: row_number over (conv_id, turn_idx) re-establishes stable turn
+    ordering after the salted shuffle (never rely on task order).
+    """
+    src = df.select("conv_id", "turn_idx", "text")
+    if salt_buckets:
+        salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)).alias("salt")
+        cols = [F.col("conv_id"), salt]
+        if repartition_to:
+            src = src.repartition(repartition_to, *cols)
+        else:
+            src = src.repartition(*cols)
+        src = src.select("conv_id", "turn_idx", "text")
+    fn = functools.partial(extract_batch, use_adaptive=use_adaptive)
+    out = src.mapInArrow(fn, OUT_SCHEMA)
+    if add_turn_seq:
+        out = with_turn_seq(out)
+    return out
+
+
+def with_turn_seq(out: DataFrame) -> DataFrame:
+    """B5: window over conv_id -> stable turn ordering guarantee.
+
+    Kept separable from the kernel map so lineage_summary can aggregate
+    on the *map* partitions before this window's exchange."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return out.withColumn("turn_seq", F.row_number().over(w))
+
+
+def ordered_output(out: DataFrame) -> DataFrame:
+    """B6: global (conv_id, turn_idx) ordering for equality diffing —
+    range-partitioned so the sort is distributed, not single-task."""
+    return out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def lineage_summary(out: DataFrame) -> DataFrame:
+    """B8: one lineage row per task partition (BASELINE.json:6
+    "per-partition lineage rows and counters"). Aggregate BEFORE any
+    further shuffle so spark_partition_id() is the kernel-map partition."""
+    return (
+        out.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.min("conv_id").alias("conv_id_min"),
+            F.max("conv_id").alias("conv_id_max"),
+            F.count("*").alias("n_turns"),
+            F.sum("n_cells").alias("n_cells"),
+            F.sum(F.when(F.col("err") != "", 1).otherwise(0)).alias("n_errors"),
+            (F.sum("proc_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+        )
+    )
+
+
+def transcripts_from_tpch(
+    spark, sf_dir: str, max_orders: int | None = None
+) -> DataFrame:
+    """Derive a deterministic transcript table from the driver-provided
+    TPC-H-ish parquet (TESTDATA.md) — no external data, and the whole
+    derivation is JVM-side (collect_list/array_join, zero Python).
+
+    Three turn families, exercising all kernel branches:
+      * table turns  — one markdown pipe table per order, rows = its
+        lineitems sorted by l_linenumber (cols: line, part, supp, flag);
+      * html turns   — documents.text wrapped in nav/footer boilerplate;
+      * scan turns   — documents.text behind a [[scan]] header whose
+        region geometry routes doc_id % 3 == 0 to signature-only (ocr)
+        and the rest to handwriting (test2.py:3-5 semantics).
+
+    conv_id groups ~100 orders / ~50 docs per conversation so the window
+    stage (B5) has real work.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag"
+    )
+    if max_orders is not None:
+        li = li.where(F.col("l_orderkey") <= max_orders)
+    row_str = F.concat(
+        F.lit("| "), F.col("l_linenumber").cast("string"),
+        F.lit(" | "), F.col("l_partkey").cast("string"),
+        F.lit(" | "), F.col("l_suppkey").cast("string"),
+        F.lit(" | "), F.col("l_returnflag"), F.lit(" |"),
+    )
+    tables = (
+        li.withColumn("line_md", row_str)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "line_md"))
+                    ),
+                    lambda s: s["line_md"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("order-"), F.pmod("l_orderkey", F.lit(100)).cast("string")
+                     ).alias("conv_id"),
+            F.col("l_orderkey").cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit("| line | part | supp | flag |\n|---|---|---|---|\n"),
+                F.col("body"),
+            ).alias("text"),
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    html = docs.select(
+        F.concat(F.lit("doc-"), F.pmod("doc_id", F.lit(50)).cast("string")).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit('<html><body><nav><ul><li><a href="#">home</a></li>'
+                  '<li><a href="#">about</a></li></ul></nav><div><p>'),
+            F.col("text"),
+            F.lit("</p></div><footer>fine print</footer></body></html>"),
+        ).alias("text"),
+    )
+    scan_regions = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        F.lit("region x=250 y=260 w=90 h=24 d=0.5"),  # signature-only -> ocr
+    ).otherwise(
+        F.lit("region x=20 y=30 w=120 h=30 d=0.5\nregion x=20 y=90 w=120 h=30 d=0.5")
+    )
+    scans = docs.select(
+        F.concat(F.lit("scan-"), F.pmod("doc_id", F.lit(25)).cast("string")).alias("conv_id"),
+        (F.col("doc_id") + 1_000_000).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("[[scan]] w=400 h=300\n"), scan_regions, F.lit("\n[[/scan]]\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return tables.unionByName(html).unionByName(scans)

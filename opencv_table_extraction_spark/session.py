@@ -1,0 +1,52 @@
+"""SparkSession builder with the engine's standing configuration.
+
+Confs implement the BASELINE.json:6,15 scale mandates:
+  * AQE on (+ skew-join + partition coalescing) — runtime re-plan and
+    skew splitting ("skewed conversations are salted and AQE-split");
+  * Arrow transfer on, with a bounded record-batch size — per-batch peak
+    memory inside the Python worker is batch_rows x canvas bytes, so the
+    batch size is the memory knob for the image kernel (SURVEY.md §4.2);
+  * UTC session timezone — timestamp determinism for equality checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+__all__ = ["build_session", "ENGINE_CONFS"]
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~2k turns/batch: bounds Python-worker peak memory (rows x canvas px)
+    # while amortizing the Arrow IPC boundary (PAPERS.md:5).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+
+def build_session(
+    app_name: str = "opencv_table_extraction_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session with the engine confs applied.
+
+    ``master=None`` defers to spark-submit (the production path,
+    BASELINE.json:6 "spark-submit --py-files on multi-executor clusters");
+    tests and bench pass ``local[N]`` explicitly.
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

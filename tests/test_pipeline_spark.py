@@ -1,0 +1,126 @@
+"""Spark-pipeline tests (SURVEY.md §5.2-1,5,6,7): per-turn equality vs
+the single-process oracle AND the independent generator truth, output
+determinism, resumability, and skew-bounding under salting."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from opencv_table_extraction_spark.plans import (
+    extract_transcripts,
+    lineage_summary,
+    ordered_output,
+)
+from opencv_table_extraction_spark.sources import SnapshotCatalog, run_resumable
+
+DET_COLS = ["conv_id", "turn_idx", "route", "extracted_text", "n_rows",
+            "n_cols", "n_cells", "n_joints", "err"]
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = ordered_output(extract_transcripts(df, salt_buckets=8))
+    rows = out.collect()
+    return {(r["conv_id"], r["turn_idx"]): r for r in rows}
+
+
+def test_equality_vs_generator_truth(spark, fixture_dir, extracted):
+    truth = pq.read_table(f"{fixture_dir}/transcripts_truth.parquet").to_pylist()
+    assert len(truth) == len(extracted)
+    for t in truth:
+        r = extracted[(t["conv_id"], t["turn_idx"])]
+        assert r["extracted_text"] == t["expected_text"], (t["conv_id"], t["turn_idx"])
+        assert r["route"] == t["route"]
+        assert r["err"] == ""
+
+
+def test_equality_vs_oracle_including_spans(spark, fixture_dir, extracted):
+    """100% per-turn equality against the single-process oracle — the
+    north-rule invariant (BASELINE.json:14-15), spans included."""
+    from opencv_table_extraction_spark.oracle import run_oracle_parquet
+
+    oracle = run_oracle_parquet(f"{fixture_dir}/transcripts.parquet")
+    for row in oracle.to_pylist():
+        r = extracted[(row["conv_id"], row["turn_idx"])]
+        for col in ("route", "extracted_text", "n_rows", "n_cols", "n_cells",
+                    "n_joints", "err"):
+            assert r[col] == row[col], (row["conv_id"], row["turn_idx"], col)
+        got_spans = [s.asDict() for s in (r["spans"] or [])]
+        assert got_spans == row["spans"], (row["conv_id"], row["turn_idx"])
+
+
+def test_turn_seq_is_stable_ordering(extracted):
+    by_conv: dict[str, list] = {}
+    for (c, t), r in extracted.items():
+        by_conv.setdefault(c, []).append((t, r["turn_seq"]))
+    for c, pairs in by_conv.items():
+        pairs.sort()
+        assert [s for _, s in pairs] == list(range(1, len(pairs) + 1)), c
+
+
+def test_determinism_two_runs_identical(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+
+    def run_hash():
+        out = extract_transcripts(df, salt_buckets=8).select(*DET_COLS)
+        h = out.select(
+            F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in DET_COLS]), 256
+                   ).alias("h")
+        )
+        return h.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)"))
+                     ).collect()[0][0]
+
+    assert run_hash() == run_hash()
+
+
+def test_resumable_restart_equals_single_run(spark, fixture_dir, tmp_path, extracted):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    cat = SnapshotCatalog(str(tmp_path / "cat"), n_buckets=8)
+    r1 = run_resumable(spark, df, cat, max_buckets=4)   # "crash" after half
+    assert len(r1["buckets"]) == 4
+    r2 = run_resumable(spark, df, cat)                   # restart: remainder
+    assert len(r2["buckets"]) == 4
+    r3 = run_resumable(spark, df, cat)                   # idempotent no-op
+    assert r3["buckets"] == []
+
+    final = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in cat.read_output(spark).collect()
+    }
+    assert len(final) == len(extracted)
+    for k, r in extracted.items():
+        assert final[k]["extracted_text"] == r["extracted_text"], k
+        assert final[k]["turn_seq"] == r["turn_seq"], k
+
+    lin = cat.read_lineage(spark)
+    agg = lin.agg(F.sum("n_turns"), F.sum("n_errors")).collect()[0]
+    assert agg[0] == len(extracted) and agg[1] == 0
+    assert {r["snapshot_id"] for r in lin.collect()} == {1, 2}
+
+
+def test_salting_bounds_skew(spark, fixture_dir):
+    """The 50x skew-monster conversation must not serialize into one
+    task: with salting, the max per-partition kernel time is bounded
+    relative to the median (SURVEY.md §5.2-7)."""
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_transcripts(df, salt_buckets=8, repartition_to=16,
+                              add_turn_seq=False)
+    lin = lineage_summary(out).collect()
+    times = sorted(r["wall_ms"] for r in lin if r["n_turns"] > 0)
+    assert len(times) >= 8
+    median = times[len(times) // 2]
+    assert times[-1] <= max(4 * median, median + 2000), times
+    # and the monster conversation itself spans multiple partitions
+    monster = [r for r in lin if r["conv_id_min"] <= "conv-000007" <= r["conv_id_max"]]
+    assert len(monster) >= 2
+
+
+def test_lineage_counts(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_transcripts(df, salt_buckets=4, add_turn_seq=False)
+    lin = lineage_summary(out)
+    total = lin.agg(F.sum("n_turns").alias("t"), F.sum("n_cells").alias("c")).collect()[0]
+    assert total["t"] == df.count()
+    truth = pq.read_table(f"{fixture_dir}/grid_truth.parquet")
+    assert total["c"] == sum(truth.column("n_cells").to_pylist())
