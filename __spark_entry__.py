@@ -1,38 +1,357 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2); each has
+a DuckDB ``oracle_sql()`` mirror unless the operator is genuinely not
+SQL-expressible (minhash-LSH banding, simhash — marked below).
+
+The headline design: the three ``extract_*`` queries run the FULL image
+kernel (markdown render -> Otsu -> morphology -> connected components ->
+cell ordering -> span assembly) on transcripts derived deterministically
+from the TPC-H parquet, while the oracle reconstructs the expected text
+with pure SQL string aggregation — so a value-hash match certifies the
+whole geometric pipeline end-to-end, not just relational plumbing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opencv_table_extraction_spark.operators import dedup as dd
+from opencv_table_extraction_spark.operators import multimodal as mm
+from opencv_table_extraction_spark.operators import similarity as sim
+from opencv_table_extraction_spark.operators import textstats as ts
+from opencv_table_extraction_spark.plans import (
+    extract_transcripts,
+    ordered_output,
+    transcripts_from_tpch,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive transcripts from sf0.001 parquet, run the full
+    extraction pipeline (salted kernel map + ordering window)."""
+    transcripts = transcripts_from_tpch(spark, SF0001)
+    return ordered_output(extract_transcripts(transcripts, salt_buckets=8))
 
+
+# ---------------------------------------------------------------- A. extraction
+
+def _q_extract_order_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
+    return out.select(
+        F.col("turn_idx").cast("bigint").alias("order_key"),
+        "route",
+        "extracted_text",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.col("n_cols").cast("int").alias("n_cols"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        F.col("n_joints").cast("int").alias("n_joints"),
+    )
+
+
+def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("doc-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
+    return out.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"), "route", "extracted_text"
+    )
+
+
+def _q_extract_scan_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("scan-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
+    return out.select(
+        (F.col("turn_idx").cast("bigint") - 1_000_000).alias("doc_id"),
+        "route",
+        "extracted_text",
+    )
+
+
+_SQL_EXTRACT_TABLES = r"""
+WITH body AS (
+  SELECT l_orderkey,
+         count(*) AS cnt,
+         string_agg(
+           l_linenumber || chr(9) || l_partkey || chr(9) || l_suppkey
+             || chr(9) || l_returnflag,
+           chr(10) ORDER BY l_linenumber, l_partkey, l_suppkey, l_returnflag)
+           AS rows_txt
+  FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(l_orderkey AS BIGINT) AS order_key,
+       'table' AS route,
+       'line' || chr(9) || 'part' || chr(9) || 'supp' || chr(9) || 'flag'
+         || chr(10) || rows_txt AS extracted_text,
+       CAST(cnt + 1 AS INT) AS n_rows,
+       4 AS n_cols,
+       CAST((cnt + 1) * 4 AS INT) AS n_cells,
+       CAST((cnt + 2) * 5 AS INT) AS n_joints
+FROM body
+"""
+
+_SQL_EXTRACT_HTML = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'html' AS route,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
+FROM documents
+"""
+
+_SQL_EXTRACT_SCANS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'ocr' ELSE 'handwriting' END AS route,
+       trim(text) AS extracted_text
+FROM documents
+"""
+
+# ---------------------------------------------------------------- B. relational
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_SQL_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+_SQL_REGION = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+_SQL_LATEST = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_TOPK = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    f_orders = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(f_orders, c.c_custkey == f_orders.o_custkey, "left_semi").select(
+        "c_custkey"
+    )
+
+
+_SQL_SEMI = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+_SQL_UNION = """
+SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer
+UNION SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+"""
+
+
+def _q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
+_SQL_EVENTS = """
+SELECT event_type, count(*) AS cnt, min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+_SQL_SESSIONS = """
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # A: the image-kernel pipeline, SQL-certified end-to-end
+        "extract_order_tables": _q_extract_order_tables,
+        "extract_html_docs": _q_extract_html_docs,
+        "extract_scan_routes": _q_extract_scan_routes,
+        # B: relational operators (SURVEY.md §2.B)
+        "pricing_summary": _q_pricing_summary,
+        "segment_revenue": _q_segment_revenue,
+        "region_nations": _q_region_nations,
+        "latest_order_per_customer": _q_latest_order,
+        "topk_orders": _q_topk_orders,
+        "anti_join_quiet_customers": _q_anti_join,
+        "semi_join_f_customers": _q_semi_join,
+        "union_distinct_nations": _q_union_distinct,
+        "event_type_stats": _q_event_stats,
+        "event_sessionize": _q_sessionize,
+    }
+    q.update(ts.queries())
+    q.update(dd.queries())
+    q.update(sim.queries())
+    q.update(mm.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "extract_order_tables": _SQL_EXTRACT_TABLES,
+        "extract_html_docs": _SQL_EXTRACT_HTML,
+        "extract_scan_routes": _SQL_EXTRACT_SCANS,
+        "pricing_summary": _SQL_PRICING,
+        "segment_revenue": _SQL_SEGMENT,
+        "region_nations": _SQL_REGION,
+        "latest_order_per_customer": _SQL_LATEST,
+        "topk_orders": _SQL_TOPK,
+        "anti_join_quiet_customers": _SQL_ANTI,
+        "semi_join_f_customers": _SQL_SEMI,
+        "union_distinct_nations": _SQL_UNION,
+        "event_type_stats": _SQL_EVENTS,
+        "event_sessionize": _SQL_SESSIONS,
+    }
+    o.update(ts.oracle_sql())
+    o.update(dd.oracle_sql())
+    o.update(sim.oracle_sql())
+    o.update(mm.oracle_sql())
+    return o

@@ -1,0 +1,105 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline = the flagship kernel-extraction pipeline (the engine's reason
+to exist) + the scale-relevant operators (minhash-LSH dedup, jaccard
+pairs, similarity, TPC-H-ish relational). Each query is timed to a full
+materialization (count/collect), 1 warmup for the session, per-query
+wall clock reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opencv_table_extraction_spark.plans import (  # noqa: E402
+    extract_transcripts,
+    transcripts_from_tpch,
+)
+from opencv_table_extraction_spark.session import build_session  # noqa: E402
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+
+    def q_extract_full():
+        t = transcripts_from_tpch(spark, sf_dir)
+        out = extract_transcripts(t, salt_buckets=8)
+        return out.where(F.col("err") == "").count()
+
+    def mk(name):
+        return lambda: qs[name](spark, sf_dir).count()
+
+    return {
+        "extract_full_pipeline": q_extract_full,
+        "extract_order_tables": mk("extract_order_tables"),
+        "dedup_minhash_lsh_pairs": mk("dedup_minhash_lsh_pairs"),
+        "dedup_ngram_jaccard_pairs": mk("dedup_ngram_jaccard_pairs"),
+        "dedup_exact": mk("dedup_exact"),
+        "sim_embedding_topk": mk("sim_embedding_topk"),
+        "sim_ivf_assign": mk("sim_ivf_assign"),
+        "text_token_stats": mk("text_token_stats"),
+        "pricing_summary": mk("pricing_summary"),
+        "event_sessionize": mk("event_sessionize"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session(
+        "octe-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: spin up executors + python workers once
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    results: dict[str, float] = {}
+    n_turns = 0
+    for name, fn in bench_queries(spark, sf_dir).items():
+        t0 = time.time()
+        n = fn()
+        results[name] = round(time.time() - t0, 3)
+        if name == "extract_full_pipeline":
+            n_turns = n
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (kernel extraction + dedup + similarity + relational)",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": cpus,
+                "extracted_turns": n_turns,
+                "extract_turns_per_sec": round(
+                    n_turns / results["extract_full_pipeline"], 1
+                )
+                if n_turns
+                else 0.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ from .imaging import (
     otsu_threshold,
     to_gray,
 )
-from .render import classify_payload, parse_pipe_table, render_table
+from .render import LINE_T, classify_payload, parse_pipe_table, render_table
 
 __all__ = ["extract_turn", "extract_batch", "OUT_FIELDS", "arrow_out_schema"]
 
@@ -86,7 +86,11 @@ def _extract_table(text: str, use_adaptive: bool) -> dict:
     v_mask = morph_open_v(bin_img)
     joints = mask_intersect(h_mask, v_mask)
     grid = grid_mask(h_mask, v_mask)
-    n_joints, _, _ = connected_components(joints)
+    # a true line crossing is at least LINE_T x LINE_T; smaller clusters
+    # are residue of noise chaining into a line (same spirit as the
+    # min_area filter in detect_cells, A12)
+    _, _, joint_stats = connected_components(joints)
+    n_joints = int((joint_stats[:, 4] >= LINE_T * LINE_T).sum()) if len(joint_stats) else 0
     rects = detect_cells(grid)
     ordered = order_cells(rects)
 

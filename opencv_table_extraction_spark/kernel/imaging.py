@@ -178,13 +178,17 @@ def morph_open(bin_img: np.ndarray, se: tuple[int, int]) -> np.ndarray:
     return dilate(erode(bin_img, se), se, reflect=True)
 
 
-def morph_open_h(bin_img: np.ndarray, scale: int = 20, min_k: int = 5) -> np.ndarray:
-    """Keep only horizontal line strokes: open with SE (1, W//scale)."""
+def morph_open_h(bin_img: np.ndarray, scale: int = 20, min_k: int = 9) -> np.ndarray:
+    """Keep only horizontal line strokes: open with SE (1, W//scale).
+
+    min_k = 9: noise specks are 2px and glyph dashes are 3px, so even a
+    chain of three specks plus a dash (8px) cannot masquerade as a line
+    stroke; real grid lines are always far longer than 9px."""
     k = max(min_k, bin_img.shape[1] // scale)
     return morph_open(bin_img, (1, k))
 
 
-def morph_open_v(bin_img: np.ndarray, scale: int = 20, min_k: int = 5) -> np.ndarray:
+def morph_open_v(bin_img: np.ndarray, scale: int = 20, min_k: int = 9) -> np.ndarray:
     """Keep only vertical line strokes: open with SE (H//scale, 1)."""
     k = max(min_k, bin_img.shape[0] // scale)
     return morph_open(bin_img, (k, 1))

@@ -1,0 +1,146 @@
+"""Text analysis operators over the documents table: token counting
+(whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
+document fingerprinting. All expressions are JVM-side built-ins (zero
+Python in the hot path); every query has an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_PAT)).alias("n_subtokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+            / F.size(tokens),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+_SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens,
+       round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.trim(F.lower("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    n_tok = F.size(tokens)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 4)
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n_tok >= 10) & (n_tok <= 2000) & (stop_ratio <= F.lit(0.6))
+        ).alias("quality_ok"),
+    )
+
+
+_SQL_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is')))
+         AS n_stopwords,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       round(CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is')))
+             AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       (len(toks) >= 10 AND len(toks) <= 2000
+        AND round(CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE) / len(toks), 4) <= 0.6) AS quality_ok
+FROM t
+"""
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic character-class/marker-word language heuristic.
+
+    (The synthetic corpus is English-like word salad regardless of its
+    `lang` label; the operator is the deliverable, and the oracle mirrors
+    the identical rule so the check is exact.)"""
+    d = _docs(spark, sf_dir)
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    guess = (
+        F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .when(F.col("text").rlike(r"[Ѐ-ӿ]"), "ru")
+        .when(t.contains(" the ") | t.contains(" a "), "en")
+        .when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" la "), "es")
+        .otherwise("unk")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+_SQL_LANG = r"""
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+            WHEN (' ' || lower(text) || ' ') LIKE '% the %'
+              OR (' ' || lower(text) || ' ') LIKE '% a %' THEN 'en'
+            WHEN (' ' || lower(text) || ' ') LIKE '% der %'
+              OR (' ' || lower(text) || ' ') LIKE '% und %' THEN 'de'
+            WHEN (' ' || lower(text) || ' ') LIKE '% el %'
+              OR (' ' || lower(text) || ' ') LIKE '% la %' THEN 'es'
+            ELSE 'unk' END AS lang_guess
+FROM documents
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
+
+
+_SQL_FINGERPRINT = r"""
+SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_token_stats": _q_token_stats,
+        "text_quality_score": _q_quality_score,
+        "text_lang_guess": _q_lang_guess,
+        "text_fingerprint": _q_fingerprint,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "text_token_stats": _SQL_TOKEN_STATS,
+        "text_quality_score": _SQL_QUALITY,
+        "text_lang_guess": _SQL_LANG,
+        "text_fingerprint": _SQL_FINGERPRINT,
+    }

@@ -87,15 +87,18 @@ def extract_transcripts(
     embarrassingly parallel, so correctness never depends on grouping.
     B5: row_number over (conv_id, turn_idx) re-establishes stable turn
     ordering after the salted shuffle (never rely on task order).
+
+    The repartition always carries an EXPLICIT partition count: the
+    kernel stage is CPU-bound, so AQE's byte-based partition coalescing
+    (sized for ~64MB of shuffle data) would collapse a few MB of text —
+    hours of image work — into one task. An explicit count opts this one
+    exchange out of coalescing while AQE still manages the joins/aggs.
     """
     src = df.select("conv_id", "turn_idx", "text")
     if salt_buckets:
         salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)).alias("salt")
-        cols = [F.col("conv_id"), salt]
-        if repartition_to:
-            src = src.repartition(repartition_to, *cols)
-        else:
-            src = src.repartition(*cols)
+        n = repartition_to or df.sparkSession.sparkContext.defaultParallelism * 2
+        src = src.repartition(n, F.col("conv_id"), salt)
         src = src.select("conv_id", "turn_idx", "text")
     fn = functools.partial(extract_batch, use_adaptive=use_adaptive)
     out = src.mapInArrow(fn, OUT_SCHEMA)
@@ -173,8 +176,17 @@ def transcripts_from_tpch(
         .agg(
             F.array_join(
                 F.transform(
+                    # full numeric sort key: the synthetic data has
+                    # duplicate l_linenumber within an order, so ties
+                    # must break deterministically (and identically to
+                    # the SQL oracle's ORDER BY)
                     F.array_sort(
-                        F.collect_list(F.struct("l_linenumber", "line_md"))
+                        F.collect_list(
+                            F.struct(
+                                "l_linenumber", "l_partkey", "l_suppkey",
+                                "l_returnflag", "line_md",
+                            )
+                        )
                     ),
                     lambda s: s["line_md"],
                 ),

@@ -1,0 +1,74 @@
+"""Incremental/streaming driver (B15, SURVEY.md §3.3).
+
+Structured Streaming over the transcript source with
+``trigger(availableNow=True)``: newly-appended files (standing in for
+newly-committed Iceberg snapshots) are processed as micro-batches, and
+``foreachBatch`` reuses the exact batch pipeline body — one code path,
+two drivers. No event-time aggregation is in the spec (`ts` is carried,
+not aggregated), so no watermark/state is required; the checkpoint dir
+carries exactly-once file tracking across restarts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..plans.pipeline import extract_transcripts, with_turn_seq
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    salt_buckets: int | None = 8,
+) -> int:
+    """Process all not-yet-seen parquet files under ``source_dir`` as
+    micro-batches; append extraction output to ``out_dir``. Returns the
+    number of micro-batches processed. Re-running after new files land
+    extracts only the new files (resume is the stream checkpoint)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    n_batches = 0
+
+    def process(batch_df, batch_id: int) -> None:
+        nonlocal n_batches
+        out = with_turn_seq(
+            extract_transcripts(batch_df, salt_buckets=salt_buckets,
+                                add_turn_seq=False)
+        )
+        out.write.mode("append").parquet(os.path.join(out_dir, "data"))
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

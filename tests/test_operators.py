@@ -1,0 +1,99 @@
+"""Operator tests: dedup (exact, minhash-LSH recall), simhash,
+similarity (IVF recall vs brute force), multimodal plumbing.
+All at sf0.001 for speed; exact SQL-parity is covered by
+tools/check_queries.py (driver-mimic) at sf0.01."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_groups(spark):
+    from opencv_table_extraction_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    out = exact_dedup(corpus)
+    rows = out.collect()
+    n_docs = d.count()
+    assert len(rows) == n_docs           # one group per distinct text
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert all(r["keeper_id"] < 1_000_000 for r in rows)  # keeper = min id
+
+
+def test_minhash_lsh_finds_all_near_dups(spark):
+    """Every doc's 90%-truncation must surface as a candidate pair and
+    survive exact-Jaccard verification (recall check: LSH with 16 bands
+    x 2 rows has ~0.99+ recall at jaccard ~0.87)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    corpus = dedup_corpus(spark, SF)
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in minhash_lsh_pairs(corpus).collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    planted = [(i, i + 1_000_000) for i in range(n_docs)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) >= 0.98 * n_docs
+    assert all(pairs[p] >= 0.5 for p in found)
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    from opencv_table_extraction_spark.operators.dedup import simhash64
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    h1 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash64("text").alias("h")).collect()}
+    h2 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert h1 == h2
+    # near-identical docs must land at small hamming distance,
+    # unrelated docs far: check doc vs its truncation
+    rows = d.orderBy("doc_id").limit(5).collect()
+    for r in rows:
+        toks = r["text"].split()
+        trunc = " ".join(toks[: int(len(toks) * 0.9)])
+        a = spark.createDataFrame([(r["text"],), (trunc,)], ["text"])
+        ha, hb = [x["h"] for x in a.select(simhash64("text").alias("h")).collect()]
+        ham = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert ham <= 16, (r["doc_id"], ham)
+
+
+def test_ivf_search_recall_vs_bruteforce(spark):
+    from opencv_table_extraction_spark.operators.similarity import (
+        _q_embedding_topk,
+        ivf_search,
+    )
+
+    brute = [r["vec_id"] for r in _q_embedding_topk(spark, SF).collect()]
+    approx = [r["vec_id"] for r in ivf_search(spark, SF, n_probe=4).collect()]
+    overlap = len(set(brute) & set(approx)) / len(brute)
+    assert overlap >= 0.5, (brute, approx)  # n_probe=4 of 8 buckets
+
+
+def test_multimodal_meta_and_stub(spark):
+    from opencv_table_extraction_spark.operators.multimodal import (
+        _q_multimodal_meta,
+        decode_image,
+        sniff_kind,
+    )
+
+    rows = _q_multimodal_meta(spark, SF).collect()
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert all(r["kind"] == "application/octet-stream" for r in rows)
+    assert sniff_kind(b"\x89PNG\r\n") == "image/png"
+    assert sniff_kind(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_shingles_expression(spark):
+    from opencv_table_extraction_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    got = [r["sh"] for r in df.select(shingles(F.col("text")).alias("sh")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["x y"]

@@ -1,0 +1,108 @@
+"""Driver-mimic: run every __spark_entry__ query against its DuckDB
+oracle at a given sf dir and compare row-count + schema + sorted values
+(the same contract CORRECTNESS_r{N}.json grades). Usage:
+
+    python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Coerce to comparison-stable dtypes: every numeric-able column
+    (ints, floats, Decimals-as-object) -> float64 rounded to 9 places;
+    everything else -> str. Mirrors an order-insensitive value hash."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+            continue
+        if df[c].dtype == bool or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype("bool")
+            continue
+        try:
+            df[c] = pd.to_numeric(df[c], errors="raise").astype("float64").round(9)
+        except (ValueError, TypeError):
+            df[c] = df[c].map(lambda v: str(v))
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from opencv_table_extraction_spark.session import build_session
+
+    spark = build_session(
+        "check-queries", master="local[8]", shuffle_partitions=16,
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:32s} spark raised: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            status = "ROWS" if len(sdf) > 0 else "EMPTY!"
+            print(f"{status:5s} {name:32s} rows={len(sdf):6d} (no oracle) {dt:5.1f}s")
+            if len(sdf) == 0:
+                failures.append(name)
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:32s} duckdb raised: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            print(f"FAIL  {name:32s} columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            failures.append(name)
+            continue
+        if len(sdf) != len(ddf):
+            print(f"FAIL  {name:32s} rowcount {len(sdf)} vs {len(ddf)}")
+            failures.append(name)
+            continue
+        a, b = normalize(sdf.copy()), normalize(ddf.copy())
+        if a.equals(b):
+            print(f"OK    {name:32s} rows={len(sdf):6d} {dt:5.1f}s")
+        else:
+            neq = (a != b).any(axis=1)
+            print(f"FAIL  {name:32s} {int(neq.sum())}/{len(a)} rows differ; first:")
+            idx = neq.idxmax()
+            print("  spark :", a.loc[idx].to_dict())
+            print("  duckdb:", b.loc[idx].to_dict())
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
