@@ -18,16 +18,24 @@ import numpy as np
 __all__ = ["connected_components", "detect_cells", "order_cells"]
 
 
-def _row_runs(mask_row_bool: np.ndarray) -> np.ndarray:
-    """Return (n_runs, 2) array of [start, end) column intervals of True."""
-    d = np.diff(mask_row_bool.astype(np.int8))
+def _all_runs(fg: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized run extraction for the WHOLE image in one pass.
+
+    A guard column of False is appended so runs never straddle rows;
+    transitions are found on the flattened mask with a single diff.
+    Returns (row, start_col, end_col) int64 arrays sorted by (row, start).
+    """
+    H, W = fg.shape
+    padded = np.zeros((H, W + 1), dtype=bool)
+    padded[:, :W] = fg
+    flat = padded.ravel()
+    d = np.diff(flat.astype(np.int8))
     starts = np.flatnonzero(d == 1) + 1
     ends = np.flatnonzero(d == -1) + 1
-    if mask_row_bool[0]:
+    if flat[0]:
         starts = np.concatenate(([0], starts))
-    if mask_row_bool[-1]:
-        ends = np.concatenate((ends, [mask_row_bool.size]))
-    return np.stack([starts, ends], axis=1)
+    rows = starts // (W + 1)
+    return rows, starts - rows * (W + 1), ends - rows * (W + 1)
 
 
 class _UnionFind:
@@ -71,69 +79,63 @@ def connected_components(
     """
     H, W = bin_img.shape
     fg = bin_img != 0
-    uf = _UnionFind()
-    run_labels: list[np.ndarray] = []
-    runs_per_row: list[np.ndarray] = []
-    prev_runs = np.empty((0, 2), dtype=np.int64)
-    prev_lab = np.empty(0, dtype=np.int64)
-    for y in range(H):
-        row = fg[y]
-        if not row.any():
-            runs = np.empty((0, 2), dtype=np.int64)
-            labs = np.empty(0, dtype=np.int64)
-        else:
-            runs = _row_runs(row)
-            labs = np.empty(len(runs), dtype=np.int64)
-            j = 0
-            for i, (s, e) in enumerate(runs):
-                lab = -1
-                # advance over previous-row runs ending at or before s
-                while j < len(prev_runs) and prev_runs[j, 1] <= s:
-                    j += 1
-                jj = j
-                while jj < len(prev_runs) and prev_runs[jj, 0] < e:
-                    lab = (
-                        uf.union(lab, uf.find(prev_lab[jj]))
-                        if lab >= 0
-                        else uf.find(prev_lab[jj])
-                    )
-                    jj += 1
-                labs[i] = uf.make() if lab < 0 else lab
-        run_labels.append(labs)
-        runs_per_row.append(runs)
-        prev_runs, prev_lab = runs, labs
-
-    if not uf.parent:
+    if not fg.any():
         return 0, (np.zeros((H, W), np.int32) if return_labels else None), np.empty(
             (0, 5), np.int64
         )
+    r_row, r_s, r_e = _all_runs(fg)
+    rows_l = r_row.tolist()
+    s_l = r_s.tolist()
+    e_l = r_e.tolist()
+    n_runs = len(rows_l)
 
-    roots = np.array([uf.find(i) for i in range(len(uf.parent))], dtype=np.int64)
-    uniq = {}
-    comp = np.empty(len(roots), dtype=np.int64)
-    for i, r in enumerate(roots):
-        comp[i] = uniq.setdefault(r, len(uniq))
+    uf = _UnionFind()
+    find, union, make = uf.find, uf.union, uf.make
+    run_lab = [0] * n_runs
+    # single pass over runs (already sorted by (row, start)); two-pointer
+    # against the previous row's run range for 4-connectivity merges
+    prev_lo = prev_hi = 0
+    prev_row = -2
+    i = 0
+    while i < n_runs:
+        r = rows_l[i]
+        j_end = i
+        while j_end < n_runs and rows_l[j_end] == r:
+            j_end += 1
+        if r != prev_row + 1:
+            lo = hi = i  # previous row empty: no merges possible
+        else:
+            lo, hi = prev_lo, prev_hi
+        j = lo
+        for k in range(i, j_end):
+            s, e = s_l[k], e_l[k]
+            lab = -1
+            while j < hi and e_l[j] <= s:
+                j += 1
+            jj = j
+            while jj < hi and s_l[jj] < e:
+                lab = union(lab, find(run_lab[jj])) if lab >= 0 else find(run_lab[jj])
+                jj += 1
+            run_lab[k] = make() if lab < 0 else lab
+        prev_lo, prev_hi, prev_row = i, j_end, r
+        i = j_end
+
+    roots = [find(x) for x in run_lab]
+    uniq: dict[int, int] = {}
+    comp = np.array([uniq.setdefault(x, len(uniq)) for x in roots], dtype=np.int64)
     n = len(uniq)
 
+    # vectorized stats: scatter-reduce run extents into components
     x0 = np.full(n, W, np.int64)
     x1 = np.zeros(n, np.int64)
     y0 = np.full(n, H, np.int64)
     y1 = np.zeros(n, np.int64)
     area = np.zeros(n, np.int64)
-    for y in range(H):
-        runs, labs = runs_per_row[y], run_labels[y]
-        for i in range(len(runs)):
-            c = comp[labs[i]]
-            s, e = runs[i]
-            if s < x0[c]:
-                x0[c] = s
-            if e > x1[c]:
-                x1[c] = e
-            if y < y0[c]:
-                y0[c] = y
-            if y + 1 > y1[c]:
-                y1[c] = y + 1
-            area[c] += e - s
+    np.minimum.at(x0, comp, r_s)
+    np.maximum.at(x1, comp, r_e)
+    np.minimum.at(y0, comp, r_row)
+    np.maximum.at(y1, comp, r_row + 1)
+    np.add.at(area, comp, r_e - r_s)
 
     stats = np.stack([x0, y0, x1 - x0, y1 - y0, area], axis=1)
     order = np.lexsort((stats[:, 2], stats[:, 0], stats[:, 1]))
@@ -143,10 +145,9 @@ def connected_components(
         remap = np.empty(n, dtype=np.int32)
         remap[order] = np.arange(1, n + 1, dtype=np.int32)
         labels = np.zeros((H, W), dtype=np.int32)
-        for y in range(H):
-            runs, labs = runs_per_row[y], run_labels[y]
-            for i in range(len(runs)):
-                labels[y, runs[i, 0] : runs[i, 1]] = remap[comp[labs[i]]]
+        run_remap = remap[comp]
+        for k in range(n_runs):
+            labels[rows_l[k], s_l[k] : e_l[k]] = run_remap[k]
     return n, labels, stats
 
 

@@ -1,0 +1,147 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+The north rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors; no real cluster exists in this sandbox, so the sanctioned
+proxy is the SAME job on the SAME input at local[8] and local[32]
+(BASELINE.md "Bench protocol"). Each level runs in a fresh subprocess
+(fresh JVM — no warm-executor bleed), 1 warmup + 3 timed runs, median.
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python tools/scaling_run.py [--turns 120000] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from opencv_table_extraction_spark.session import build_session
+from opencv_table_extraction_spark.plans import extract_transcripts, lineage_summary
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1]); fixture = sys.argv[2]; runs = int(sys.argv[3])
+spark = build_session("octe-scaling", master=f"local[{{cpus}}]",
+                      shuffle_partitions=cpus,
+                      extra_confs={{"spark.ui.enabled": "false",
+                                   "spark.driver.memory": "48g"}})
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(fixture)
+n = df.count()
+
+def one_run():
+    t0 = time.time()
+    out = extract_transcripts(df, salt_buckets=8, repartition_to=cpus * 4,
+                              add_turn_seq=False)
+    lin = lineage_summary(out).collect()
+    wall = time.time() - t0
+    times = sorted(r["wall_ms"] for r in lin if r["n_turns"] > 0)
+    med = times[len(times) // 2] if times else 0
+    return wall, {{"max_part_ms": times[-1] if times else 0,
+                  "median_part_ms": med,
+                  "n_parts": len(times),
+                  "total_turns": int(sum(r["n_turns"] for r in lin)),
+                  "n_errors": int(sum(r["n_errors"] for r in lin))}}
+
+one_run()  # warmup
+walls, skew = [], None
+for _ in range(runs):
+    w, skew = one_run()
+    walls.append(w)
+print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "walls": walls,
+                             "skew": skew}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, fixture: str, runs: int) -> dict:
+    script = _CHILD.format(repo=REPO)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    out = subprocess.run(
+        [sys.executable, path, str(cpus), fixture, str(runs)],
+        capture_output=True, text=True, timeout=3600, check=False,
+    )
+    os.unlink(path)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"scaling child (cpus={cpus}) failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=120_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    from opencv_table_extraction_spark.fixtures.gen import write_fixture
+
+    fx_dir = os.path.join(tempfile.gettempdir(), f"octe_bench_{args.turns}")
+    fixture = os.path.join(fx_dir, "transcripts.parquet")
+    if not os.path.exists(fixture):
+        write_fixture(fx_dir, n_turns=args.turns, seed=42, skew=True)
+
+    lo = run_level(args.low, fixture, args.runs)
+    hi = run_level(args.high, fixture, args.runs)
+    t_lo = statistics.median(lo["walls"])
+    t_hi = statistics.median(hi["walls"])
+    n = lo["n_turns"]
+    speedup = t_lo / t_hi
+    eff = speedup / (args.high / args.low)
+    summary = {
+        "n_turns": n,
+        f"wall_s_local{args.low}": round(t_lo, 2),
+        f"wall_s_local{args.high}": round(t_hi, 2),
+        f"turns_per_s_local{args.low}": round(n / t_lo, 1),
+        f"turns_per_s_local{args.high}": round(n / t_hi, 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+        "skew_high": hi["skew"],
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    skew = hi["skew"]
+    ratio = (skew["max_part_ms"] / skew["median_part_ms"]) if skew["median_part_ms"] else 0
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured (scaling protocol of BASELINE.md)
+
+Fixture: deterministic generated transcripts (seed=42, skew monster
+included), {n} turns. Same input, same job (salted kernel extraction +
+per-partition lineage), fresh JVM per level, 1 warmup + {args.runs} timed
+runs, median wall-clock.
+
+| metric | local[{args.low}] | local[{args.high}] |
+|---|---|---|
+| wall (s) | {t_lo:.2f} | {t_hi:.2f} |
+| throughput (turns/s) | {n / t_lo:.0f} | {n / t_hi:.0f} |
+
+- speedup {args.low}->{args.high}: **{speedup:.2f}x** over a {args.high // args.low}x core increase
+- scaling efficiency: **{eff:.3f}** (gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+- skew after salting (local[{args.high}]): max/median partition kernel time
+  = {skew["max_part_ms"]}ms / {skew["median_part_ms"]}ms = {ratio:.2f}
+  over {skew["n_parts"]} partitions; errors: {skew["n_errors"]}
+- confs: AQE on (+skewJoin, +coalescePartitions),
+  arrow maxRecordsPerBatch=2048, shuffle.partitions=cores,
+  kernel repartition_to = 4 x cores (explicit — exempt from AQE
+  byte-based coalescing; the kernel stage is CPU-bound)
+""")
+
+
+if __name__ == "__main__":
+    main()
