@@ -1,0 +1,58 @@
+"""E1 — the production batch extraction job (SURVEY.md §3.2).
+
+Deployed as:
+    spark-submit --py-files engine.zip jobs/extract.py \
+        --input  <transcripts parquet/iceberg dir> \
+        --output <catalog root> [--buckets 256] [--max-buckets N] \
+        [--salt 16] [--local N]
+
+Reads the conv_id-partitioned transcript table, resumes from the last
+committed snapshot (skips committed conv buckets), extracts with the
+Arrow kernel, writes per-bucket output + per-partition lineage, commits
+the snapshot manifest. Re-running after a crash completes the remainder;
+re-running after completion is a no-op (BASELINE.json:6 "resumable from
+the last committed Iceberg snapshot checkpoint").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opencv_table_extraction_spark.session import build_session  # noqa: E402
+from opencv_table_extraction_spark.sources import SnapshotCatalog, run_resumable  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True, help="snapshot catalog root")
+    ap.add_argument("--buckets", type=int, default=256,
+                    help="conv buckets (commit granularity)")
+    ap.add_argument("--max-buckets", type=int, default=None,
+                    help="bound this run (testing / staged rollout)")
+    ap.add_argument("--salt", type=int, default=16, help="salt buckets per conv")
+    ap.add_argument("--local", type=int, default=None,
+                    help="run on local[N] instead of deferring to spark-submit")
+    args = ap.parse_args()
+
+    spark = build_session(
+        "octe-extract-job",
+        master=f"local[{args.local}]" if args.local else None,
+        shuffle_partitions=args.local or None,
+    )
+    cat = SnapshotCatalog(args.output, n_buckets=args.buckets)
+    df = spark.read.parquet(args.input)
+    result = run_resumable(
+        spark, df, cat, max_buckets=args.max_buckets, salt_buckets=args.salt
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,12 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "source"
     )
     pairs = a.join(b, "source").where(F.col("a_id") < F.col("b_id"))
+    # the pair set is small in bytes but quadratic in CPU (array
+    # intersections): explicit repartition keeps AQE from collapsing the
+    # compute stage to a couple of tasks
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism * 2, "a_id", "b_id"
+    )
     jac = F.round(
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
         / F.size(F.array_union("a_sh", "b_sh")),
@@ -144,14 +150,15 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-def minhash_signature(col, n_hashes: int = N_HASHES):
-    """MinHash signature as a JVM-side expression: for each seed s,
-    min over shingles of xxhash64(shingle, s)."""
-    sh = shingles(col)
+def minhash_signature(sh_col, n_hashes: int = N_HASHES):
+    """MinHash signature as a JVM-side expression over an already-
+    materialized shingle-array column: for each seed s, min over
+    shingles of xxhash64(shingle, s). Taking the array column (not the
+    text) avoids recomputing the shingle expression per consumer."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda s: F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(x, s.cast("string")))
+            F.transform(sh_col, lambda x: F.xxhash64(x, s.cast("string")))
         ),
     )
 
@@ -169,11 +176,18 @@ def minhash_lsh_pairs(
       4. exact-Jaccard verification of the candidates.
     """
     rows_per_band = N_HASHES // n_bands
-    sig = corpus.select(
-        "doc_id",
-        F.col("text"),
-        minhash_signature(F.col("text")).alias("sig"),
-        shingles(F.col("text")).alias("sh"),
+    # signature computation is the CPU-heavy narrow stage (n_hashes x
+    # |shingles| xxhash64 per doc); repartition explicitly so a 1-file
+    # scan doesn't serialize it into two tasks
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    sig = (
+        corpus.repartition(par, "doc_id")
+        .withColumn("sh", shingles(F.col("text")))
+        .select(
+            "doc_id",
+            "sh",
+            minhash_signature(F.col("sh")).alias("sig"),
+        )
     )
     bands = sig.select(
         "doc_id",
@@ -213,6 +227,12 @@ def minhash_lsh_pairs(
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_sh", "b_sh")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    # candidate verification is CPU-quadratic per row (shingle-set
+    # intersections) — explicit repartition, same rationale as the
+    # kernel stage
+    cand = cand.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism * 2, "a_id", "b_id"
     )
     jac = F.round(
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")

@@ -1,0 +1,72 @@
+"""Physical-plan shape tests (SURVEY.md §4.2): the properties that keep
+the pipeline viable at 100 TB must be visible in `explain`, not assumed.
+
+- column pruning reaches the parquet scan (ReadSchema carries only the
+  three kernel columns);
+- the broadcast hint on the small dim produces a BroadcastHashJoin;
+- the kernel stage runs with an explicit partition count (not collapsed
+  by AQE byte-based coalescing);
+- filter pushdown reaches the scan for the route prefilter.
+"""
+
+from pyspark.sql import functions as F
+
+from opencv_table_extraction_spark.plans import extract_transcripts
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_prunes_to_kernel_columns(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_transcripts(df, salt_buckets=8, add_turn_seq=False)
+    plan = _plan(out)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
+    assert "conv_id" in read_schema and "turn_idx" in read_schema and "text" in read_schema
+    # the wide columns must NOT cross the scan
+    assert "role" not in read_schema and "tool" not in read_schema and "ts" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    q = df.where(F.col("conv_id") == "conv-000007").select("conv_id", "turn_idx")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"): plan.index("\n", plan.index("PushedFilters"))]
+    assert "conv_id" in pushed
+
+
+def test_broadcast_join_used_for_small_dim(spark):
+    import __spark_entry__ as em
+
+    q = em.queries()["region_nations"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kernel_stage_not_coalesced_to_one_task(spark, fixture_dir):
+    """The CPU-bound kernel repartition carries an explicit count, so
+    AQE must not collapse it to a single task (the 1-task regression the
+    harness caught)."""
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_transcripts(df, salt_buckets=8, repartition_to=16,
+                              add_turn_seq=False)
+    n_parts = out.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts >= 8, n_parts
+
+
+def test_entry_contract_shapes(spark):
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    os_ = em.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every oracle-less query is a documented exception
+    assert set(qs) - set(os_) == {"dedup_minhash_lsh_pairs", "dedup_simhash"}
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert "extracted_text" in df.columns and "conv_id" in df.columns

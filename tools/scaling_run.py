@@ -22,6 +22,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 _CHILD = r"""
 import json, os, sys, time
@@ -86,6 +87,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--level", type=int, default=None,
+                    help="run ONE level and dump its JSON to --out")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--combine", nargs=2, metavar=("LOW_JSON", "HIGH_JSON"),
+                    default=None, help="combine two per-level dumps")
     args = ap.parse_args()
 
     from opencv_table_extraction_spark.fixtures.gen import write_fixture
@@ -95,8 +101,23 @@ def main() -> None:
     if not os.path.exists(fixture):
         write_fixture(fx_dir, n_turns=args.turns, seed=42, skew=True)
 
-    lo = run_level(args.low, fixture, args.runs)
-    hi = run_level(args.high, fixture, args.runs)
+    if args.level is not None:
+        res = run_level(args.level, fixture, args.runs)
+        out = args.out or f"/tmp/octe_scaling_{args.level}.json"
+        with open(out, "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+        return
+
+    if args.combine:
+        with open(args.combine[0]) as f:
+            lo = json.load(f)
+        with open(args.combine[1]) as f:
+            hi = json.load(f)
+        args.low, args.high = lo["cpus"], hi["cpus"]
+    else:
+        lo = run_level(args.low, fixture, args.runs)
+        hi = run_level(args.high, fixture, args.runs)
     t_lo = statistics.median(lo["walls"])
     t_hi = statistics.median(hi["walls"])
     n = lo["n_turns"]
