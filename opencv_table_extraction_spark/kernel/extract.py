@@ -94,28 +94,34 @@ def _extract_table(text: str, use_adaptive: bool) -> dict:
     rects = detect_cells(grid)
     ordered = order_cells(rects)
 
-    # match detected cells back to layout rects by center containment
+    # match detected cells back to layout rects by center containment —
+    # one vectorized (n_cells x n_layout) containment test, not a loop
     err = ""
     spans: list[dict] = []
     row_texts: dict[int, list[tuple[int, str]]] = {}
-    for row, col, x, y, w, h in ordered:
-        cx, cy = x + w / 2.0, y + h / 2.0
-        hit = np.flatnonzero(
-            (layout_rects[:, 0] <= cx)
-            & (cx < layout_rects[:, 0] + layout_rects[:, 2])
-            & (layout_rects[:, 1] <= cy)
-            & (cy < layout_rects[:, 1] + layout_rects[:, 3])
+    if len(ordered):
+        cx = (ordered[:, 2] + ordered[:, 4] / 2.0)[:, None]
+        cy = (ordered[:, 3] + ordered[:, 5] / 2.0)[:, None]
+        lx, ly = layout_rects[:, 0][None, :], layout_rects[:, 1][None, :]
+        contained = (
+            (lx <= cx) & (cx < lx + layout_rects[:, 2][None, :])
+            & (ly <= cy) & (cy < ly + layout_rects[:, 3][None, :])
         )
-        if len(hit) != 1:
-            err = f"cell ({row},{col}) matched {len(hit)} layout rects"
-            continue
-        cell = pt.cells[int(hit[0])]
-        lx, ly, lw, lh = (int(v) for v in layout_rects[int(hit[0])])
-        spans.append(
-            {"row": int(row), "col": int(col), "x": lx, "y": ly, "w": lw,
-             "h": lh, "start": cell.start, "end": cell.end}
-        )
-        row_texts.setdefault(int(row), []).append((int(col), text[cell.start : cell.end]))
+        n_hits = contained.sum(axis=1)
+        hit_idx = contained.argmax(axis=1)
+        layout_list = layout_rects.tolist()
+        for (row, col, *_), nh, li in zip(ordered.tolist(), n_hits.tolist(),
+                                          hit_idx.tolist()):
+            if nh != 1:
+                err = f"cell ({row},{col}) matched {nh} layout rects"
+                continue
+            cell = pt.cells[li]
+            lx0, ly0, lw0, lh0 = layout_list[li]
+            spans.append(
+                {"row": row, "col": col, "x": lx0, "y": ly0, "w": lw0,
+                 "h": lh0, "start": cell.start, "end": cell.end}
+            )
+            row_texts.setdefault(row, []).append((col, text[cell.start : cell.end]))
 
     lines = []
     for r in sorted(row_texts):

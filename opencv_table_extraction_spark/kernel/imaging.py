@@ -108,35 +108,46 @@ def adaptive_threshold(
 
 
 def _running_extremum_1d(
-    x: np.ndarray, k: int, ufunc: np.ufunc, pad_value: int, reflect: bool = False
+    x: np.ndarray,
+    k: int,
+    ufunc: np.ufunc,
+    pad_value: int,
+    reflect: bool = False,
+    axis: int = 1,
 ) -> np.ndarray:
-    """van Herk / Gil-Werman running extremum along the last axis.
+    """van Herk / Gil-Werman running extremum along rows or columns.
 
     Centered anchor (left = (k-1)//2, right = k//2), constant-padded with
-    `pad_value` so the output has the input's width. Three passes total,
+    `pad_value` so the output keeps the input's extent. Three passes,
     cost independent of k. ``reflect=True`` swaps the anchor to the
     reflected SE (needed by the dilation half of an opening when k is
-    even, so open(open(x)) == open(x) exactly).
+    even, so open(open(x)) == open(x) exactly). Axis-aware so vertical
+    passes need no transpose copies; padding is a manual full+assign
+    (np.pad's generic path is a hot-loop cost at ~16k-pixel canvases).
     """
     if k <= 1:
         return x
     l, r = (k - 1) // 2, k // 2
     if reflect:
         l, r = r, l
-    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(l, r)], constant_values=pad_value)
-    W = xp.shape[-1]
-    nb = -(-W // k)
-    tail = nb * k - W
-    if tail:
-        xp = np.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, tail)], constant_values=pad_value)
-    blocks = xp.reshape(*xp.shape[:-1], nb, k)
-    g = ufunc.accumulate(blocks, axis=-1).reshape(*xp.shape[:-1], nb * k)
-    h = ufunc.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
-        *xp.shape[:-1], nb * k
-    )
-    n_out = x.shape[-1]
-    idx = np.arange(n_out)
-    return ufunc(h[..., idx], g[..., idx + k - 1])
+    H, W = x.shape
+    if axis == 1:
+        n = W + l + r
+        nb = -(-n // k)
+        xp = np.full((H, nb * k), pad_value, dtype=x.dtype)
+        xp[:, l : l + W] = x
+        blocks = xp.reshape(H, nb, k)
+        g = ufunc.accumulate(blocks, axis=2).reshape(H, nb * k)
+        h = ufunc.accumulate(blocks[:, :, ::-1], axis=2)[:, :, ::-1].reshape(H, nb * k)
+        return ufunc(h[:, :W], g[:, k - 1 : k - 1 + W])
+    n = H + l + r
+    nb = -(-n // k)
+    xp = np.full((nb * k, W), pad_value, dtype=x.dtype)
+    xp[l : l + H] = x
+    blocks = xp.reshape(nb, k, W)
+    g = ufunc.accumulate(blocks, axis=1).reshape(nb * k, W)
+    h = ufunc.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(nb * k, W)
+    return ufunc(h[:H], g[k - 1 : k - 1 + H])
 
 
 def _morph(
@@ -149,11 +160,9 @@ def _morph(
     kh, kw = se
     out = bin_img
     if kw > 1:
-        out = _running_extremum_1d(out, kw, ufunc, pad, reflect)
+        out = _running_extremum_1d(out, kw, ufunc, pad, reflect, axis=1)
     if kh > 1:
-        out = _running_extremum_1d(
-            np.ascontiguousarray(out.T), kh, ufunc, pad, reflect
-        ).T
+        out = _running_extremum_1d(out, kh, ufunc, pad, reflect, axis=0)
     return np.ascontiguousarray(out, dtype=np.uint8)
 
 

@@ -33,11 +33,16 @@ __all__ = [
     "render_table",
 ]
 
-CHAR_W = 7          # px per character for column sizing
-CELL_H = 22         # px interior height of a row
+# Canvas geometry. Deliberately compact: the morphology/CC kernel is
+# memory-bandwidth-bound, so canvas area is the unit cost of every turn
+# — these values keep the smallest line segment comfortably above the
+# SE floor (imaging.min_k=9) and every cell above detect_cells'
+# min_area/min_w/min_h, with nothing to spare beyond that.
+CHAR_W = 4          # px per character for column sizing
+CELL_H = 12         # px interior height of a row
 LINE_T = 2          # grid line thickness
-MARGIN = 12         # canvas margin around the outer border
-MIN_CELL_W = 28     # px floor for a column's interior width
+MARGIN = 8          # canvas margin around the outer border
+MIN_CELL_W = 16     # px floor for a column's interior width
 MAX_CANVAS = 2400   # hard cap on either canvas dimension
 
 _PIPE_ROW = re.compile(r"^\s*\|.*\|\s*$")
