@@ -307,6 +307,76 @@ GROUP BY user_id
 """
 
 
+def _q_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 grouped map: per-user ordered event-type trace via
+    groupBy().applyInPandas (the per-conversation custom-logic seam —
+    here each group is sorted and folded in pandas, not in SQL)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("trace", StringType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "trace": [">".join(pdf["event_type"])],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(fold, schema)
+
+
+_SQL_TIMELINE = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS trace
+FROM events GROUP BY user_id
+"""
+
+
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: explode + hash-agg + top-k —
+    the classic distributed n-gram frequency pipeline."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, (i + 1).cast("int")),
+            F.try_element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram").contains(" "))  # drop the <2-token stub
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+_SQL_BIGRAMS = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+bg AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS bigram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  WHERE len(t) >= 2 AND i + 2 <= len(t))
+SELECT bigram, count(*) AS cnt FROM bg
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -326,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": _q_union_distinct,
         "event_type_stats": _q_event_stats,
         "event_sessionize": _q_sessionize,
+        "user_event_timeline": _q_user_timeline,
+        "top_bigrams": _q_top_bigrams,
     }
     q.update(ts.queries())
     q.update(dd.queries())
@@ -349,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct_nations": _SQL_UNION,
         "event_type_stats": _SQL_EVENTS,
         "event_sessionize": _SQL_SESSIONS,
+        "user_event_timeline": _SQL_TIMELINE,
+        "top_bigrams": _SQL_BIGRAMS,
     }
     o.update(ts.oracle_sql())
     o.update(dd.oracle_sql())

@@ -216,8 +216,16 @@ def gen_tables(
     return transcripts, truth, grid
 
 
-def write_fixture(out_dir: str, n_turns: int, seed: int = 42, skew: bool = True) -> dict:
-    """Write the three fixture parquet files; returns paths."""
+def write_fixture(
+    out_dir: str, n_turns: int, seed: int = 42, skew: bool = True,
+    n_files: int = 1,
+) -> dict:
+    """Write the three fixture parquet files; returns paths.
+
+    ``n_files > 1`` writes transcripts as a DIRECTORY of that many
+    parquet files — the realistic scan shape (an Iceberg table is many
+    files), so the kernel map parallelizes straight off the scan instead
+    of serializing on a single file split."""
     os.makedirs(out_dir, exist_ok=True)
     transcripts, truth, grid = gen_tables(n_turns, seed=seed, skew=skew)
     paths = {
@@ -225,7 +233,18 @@ def write_fixture(out_dir: str, n_turns: int, seed: int = 42, skew: bool = True)
         "transcripts_truth": os.path.join(out_dir, "transcripts_truth.parquet"),
         "grid_truth": os.path.join(out_dir, "grid_truth.parquet"),
     }
-    pq.write_table(transcripts, paths["transcripts"])
+    if n_files <= 1:
+        pq.write_table(transcripts, paths["transcripts"])
+    else:
+        os.makedirs(paths["transcripts"], exist_ok=True)
+        n = transcripts.num_rows
+        step = -(-n // n_files)
+        for i in range(n_files):
+            chunk = transcripts.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(paths["transcripts"], f"part-{i:05d}.parquet")
+                )
     pq.write_table(truth, paths["transcripts_truth"])
     pq.write_table(grid, paths["grid_truth"])
     return paths

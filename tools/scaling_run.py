@@ -99,7 +99,9 @@ def main() -> None:
     fx_dir = os.path.join(tempfile.gettempdir(), f"octe_bench_{args.turns}")
     fixture = os.path.join(fx_dir, "transcripts.parquet")
     if not os.path.exists(fixture):
-        write_fixture(fx_dir, n_turns=args.turns, seed=42, skew=True)
+        # 64 files: the realistic many-file table scan shape — the scan
+        # parallelizes at both levels instead of serializing on 1 split
+        write_fixture(fx_dir, n_turns=args.turns, seed=42, skew=True, n_files=64)
 
     if args.level is not None:
         res = run_level(args.level, fixture, args.runs)
