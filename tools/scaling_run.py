@@ -92,6 +92,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--combine", nargs=2, metavar=("LOW_JSON", "HIGH_JSON"),
                     default=None, help="combine two per-level dumps")
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate fresh-JVM runs of the two levels "
+                         "(fair under drifting ambient load); one timed "
+                         "run per JVM, --runs JVMs per level")
     args = ap.parse_args()
 
     from opencv_table_extraction_spark.fixtures.gen import write_fixture
@@ -117,6 +121,19 @@ def main() -> None:
         with open(args.combine[1]) as f:
             hi = json.load(f)
         args.low, args.high = lo["cpus"], hi["cpus"]
+    elif args.interleave:
+        # alternate the levels so drifting ambient load (shared host)
+        # biases neither side; each sample is a fresh JVM (1 warmup + 1
+        # timed run)
+        lo = {"cpus": args.low, "n_turns": None, "walls": [], "skew": None}
+        hi = {"cpus": args.high, "n_turns": None, "walls": [], "skew": None}
+        for _ in range(args.runs):
+            for acc, cpus in ((lo, args.low), (hi, args.high)):
+                r = run_level(cpus, fixture, 1)
+                acc["walls"].extend(r["walls"])
+                acc["n_turns"] = r["n_turns"]
+                acc["skew"] = r["skew"]
+        print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"]}))
     else:
         lo = run_level(args.low, fixture, args.runs)
         hi = run_level(args.high, fixture, args.runs)
