@@ -113,6 +113,58 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
+def _q_extract_order_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CELL certification: explode the spans array, join back to the
+    source turn, and slice each cell's (start, end) out of the original
+    text. The oracle reconstructs every cell from lineitem with pure SQL
+    — a match proves the kernel's detected (row, col) assignment AND
+    char offsets cell-by-cell, not just the assembled text."""
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
+    j = out.join(t.select("conv_id", "turn_idx", F.col("text").alias("src")),
+                 ["conv_id", "turn_idx"])
+    return (
+        j.select(
+            F.col("turn_idx").cast("bigint").alias("order_key"),
+            F.explode("spans").alias("s"),
+            "src",
+        )
+        .select(
+            "order_key",
+            F.col("s.row").alias("cell_row"),
+            F.col("s.col").alias("cell_col"),
+            F.expr("substring(src, s.start + 1, s.end - s.start)").alias("cell_text"),
+        )
+    )
+
+
+_SQL_EXTRACT_CELLS = """
+WITH ordered AS (
+  SELECT l_orderkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                     l_returnflag) AS rn,
+         l_linenumber, l_partkey, l_suppkey, l_returnflag
+  FROM lineitem),
+keys AS (SELECT DISTINCT l_orderkey FROM ordered),
+cells AS (
+  SELECT l_orderkey, rn AS cell_row, 0 AS cell_col,
+         CAST(l_linenumber AS VARCHAR) AS cell_text FROM ordered
+  UNION ALL SELECT l_orderkey, rn, 1, CAST(l_partkey AS VARCHAR) FROM ordered
+  UNION ALL SELECT l_orderkey, rn, 2, CAST(l_suppkey AS VARCHAR) FROM ordered
+  UNION ALL SELECT l_orderkey, rn, 3, l_returnflag FROM ordered
+  UNION ALL SELECT l_orderkey, 0, 0, 'line' FROM keys
+  UNION ALL SELECT l_orderkey, 0, 1, 'part' FROM keys
+  UNION ALL SELECT l_orderkey, 0, 2, 'supp' FROM keys
+  UNION ALL SELECT l_orderkey, 0, 3, 'flag' FROM keys)
+SELECT CAST(l_orderkey AS BIGINT) AS order_key,
+       CAST(cell_row AS INT) AS cell_row,
+       CAST(cell_col AS INT) AS cell_col,
+       cell_text
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------- B. relational
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # A: the image-kernel pipeline, SQL-certified end-to-end
         "extract_order_tables": _q_extract_order_tables,
+        "extract_order_cells": _q_extract_order_cells,
         "extract_html_docs": _q_extract_html_docs,
         "extract_scan_routes": _q_extract_scan_routes,
         # B: relational operators (SURVEY.md §2.B)
@@ -409,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         "extract_order_tables": _SQL_EXTRACT_TABLES,
+        "extract_order_cells": _SQL_EXTRACT_CELLS,
         "extract_html_docs": _SQL_EXTRACT_HTML,
         "extract_scan_routes": _SQL_EXTRACT_SCANS,
         "pricing_summary": _SQL_PRICING,
