@@ -113,14 +113,42 @@ def route_page(text: str) -> tuple[str, str]:
     return "ocr", transcript
 
 
-def transcribe(mode: str, transcript: str) -> str:
-    """STEP 2 + FINAL OUTPUT RULE (test2.py:6-12): exactly-one protocol;
-    output is the transcribed text only — the mode is never mentioned.
+class Recognizer:
+    """The pluggable recognition seam the reference delegates to an LLM
+    (test2.py:8 `prompt_handwriting`, test2.py:10 `prompt_ocr` — both
+    external to its repo, exactly like this interface). A deployment
+    provides one callable per protocol; each receives the page payload
+    and must return ONLY transcribed text (test2.py:11-12)."""
 
-    Pluggable seam for a real recognizer; the deterministic sandbox stub
-    returns the payload-carried transcript for both protocols (so
-    equality checks are exact without a model, SURVEY.md §7.4).
-    """
-    if mode not in ("handwriting", "ocr"):
-        raise ValueError(f"unknown protocol: {mode}")
-    return transcript.strip()
+    def handwriting(self, transcript: str) -> str:  # pragma: no cover - seam
+        raise NotImplementedError
+
+    def ocr(self, transcript: str) -> str:  # pragma: no cover - seam
+        raise NotImplementedError
+
+
+class StubRecognizer(Recognizer):
+    """Deterministic sandbox recognizer: returns the payload-carried
+    transcript for both protocols, so per-turn equality is exact and
+    meaningful without a model (SURVEY.md §7.4)."""
+
+    def handwriting(self, transcript: str) -> str:
+        return transcript.strip()
+
+    def ocr(self, transcript: str) -> str:
+        return transcript.strip()
+
+
+DEFAULT_RECOGNIZER = StubRecognizer()
+
+
+def transcribe(mode: str, transcript: str, recognizer: Recognizer | None = None) -> str:
+    """STEP 2 + FINAL OUTPUT RULE (test2.py:6-12): strictly apply
+    exactly ONE protocol; output is the transcribed text only — the
+    chosen mode is never mentioned in the output."""
+    r = recognizer or DEFAULT_RECOGNIZER
+    if mode == "handwriting":
+        return r.handwriting(transcript)
+    if mode == "ocr":
+        return r.ocr(transcript)
+    raise ValueError(f"unknown protocol: {mode}")

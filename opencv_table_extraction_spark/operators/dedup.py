@@ -282,12 +282,61 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+def simhash_pairs(
+    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding.
+
+    Split each 64-bit simhash into n_chunks 4-bit chunks; any pair
+    within hamming distance < n_chunks must share at least one chunk
+    (pigeonhole), so candidates come from a shuffle join on
+    (chunk_id, chunk_value) — never a cross product — then are verified
+    by exact popcount of the XOR. Exact recall for
+    max_hamming <= n_chunks - 1.
+    """
+    bits_per = 64 // n_chunks
+    sig = corpus.select("doc_id", simhash64("text").alias("sh"))
+    mask = (1 << bits_per) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftrightunsigned("sh", i * bits_per)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = sig.select(
+        "doc_id", "sh", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "sh", "c.chunk_id", "c.chunk_val")
+    a = chunks.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
+                      "chunk_id", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
+                      "chunk_id", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(dedup_corpus(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,  # rows-only (no SQL oracle)
         "dedup_simhash": _q_simhash,                # rows-only (no SQL oracle)
+        "dedup_simhash_pairs": _q_simhash_pairs,    # rows-only (no SQL oracle)
     }
 
 

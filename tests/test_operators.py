@@ -62,6 +62,37 @@ def test_simhash_deterministic_and_discriminative(spark):
         assert ham <= 16, (r["doc_id"], ham)
 
 
+def test_simhash_pairs_find_planted_near_dups(spark):
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        simhash_pairs,
+    )
+
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in simhash_pairs(dedup_corpus(spark, SF), max_hamming=16).collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    planted = [(i, i + 1_000_000) for i in range(n_docs)]
+    found = [p for p in planted if p in pairs]
+    # 90%-token-overlap docs land within small hamming of each other
+    assert len(found) >= 0.9 * n_docs
+    assert all(h <= 16 for h in pairs.values())
+
+
+def test_recognizer_seam_is_pluggable():
+    from opencv_table_extraction_spark.kernel.router import Recognizer, transcribe
+
+    class Upper(Recognizer):
+        def handwriting(self, t):
+            return t.upper()
+
+        def ocr(self, t):
+            return t.lower()
+
+    assert transcribe("handwriting", "MiXeD", Upper()) == "MIXED"
+    assert transcribe("ocr", "MiXeD", Upper()) == "mixed"
+    assert transcribe("ocr", " pad ") == "pad"  # default stub
+
+
 def test_ivf_search_recall_vs_bruteforce(spark):
     from opencv_table_extraction_spark.operators.similarity import (
         _q_embedding_topk,
