@@ -72,6 +72,63 @@ def extract_binary_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_head", StringType()),
+    ]
+)
+
+FRAME_SIZE = 64     # bytes per synthetic frame
+SAMPLE_EVERY = 4    # keep every 4th frame
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the frame-sampling stub: treat the binary
+    payload as a sequence of FRAME_SIZE-byte frames and emit every
+    SAMPLE_EVERY-th one (1-row-in, N-rows-out — the flatMap shape real
+    video decode has). The *decode* of frames to pixels is the
+    NotImplementedError stub (decode_image); the partitioning, Arrow
+    batching, and 1:N schema are the real deliverable."""
+    for pdf in batches:
+        ids, idxs, sizes, heads = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = len(b) // FRAME_SIZE
+            for fi in range(0, n_frames, SAMPLE_EVERY):
+                frame = b[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                ids.append(int(doc_id))
+                idxs.append(fi)
+                sizes.append(len(frame))
+                heads.append(frame[:4].decode("utf-8", "replace"))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "frame_idx": pd.Series(idxs, dtype="int32"),
+             "frame_bytes": pd.Series(sizes, dtype="int32"),
+             "frame_head": pd.Series(heads, dtype="object")}
+        )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+_SQL_FRAMES = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS INT) AS frame_idx,
+       {FRAME_SIZE} AS frame_bytes,
+       substring(text, CAST(i AS INT) * {FRAME_SIZE} + 1, 4) AS frame_head
+FROM documents,
+     UNNEST(range(0, octet_length(encode(text)) // {FRAME_SIZE})) AS u(i)
+WHERE i % {SAMPLE_EVERY} = 0
+"""
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline over a deterministic blob derivation
     (utf-8 bytes of documents.text — no image data ships with the
@@ -92,8 +149,14 @@ FROM documents
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"multimodal_binary_meta": _q_multimodal_meta}
+    return {
+        "multimodal_binary_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {"multimodal_binary_meta": _SQL_META}
+    return {
+        "multimodal_binary_meta": _SQL_META,
+        "multimodal_frame_sample": _SQL_FRAMES,
+    }

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -128,12 +129,73 @@ FROM documents
 """
 
 
+def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): Rabin-Karp rolling hash over k-grams of the normalized
+    text, then the minimum hash per sliding window (rightmost-min rule)
+    — the standard local fingerprinting scheme whose selected hashes are
+    stable under local edits. Pure Python/NumPy; deterministic."""
+    import numpy as np
+
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return []
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        return []
+    # mod < 2^31 so every intermediate product stays < 2^62: exact in
+    # uint64 (a larger modulus would silently wrap and break the rolling
+    # identity)
+    base = np.uint64(131)
+    mod = np.uint64((1 << 31) - 1)
+    n = len(data) - k + 1
+    # rolling hash via prefix products (vectorized)
+    powers = np.ones(len(data) + 1, dtype=np.uint64)
+    for i in range(1, len(powers)):
+        powers[i] = (powers[i - 1] * base) % mod
+    pre = np.zeros(len(data) + 1, dtype=np.uint64)
+    for i in range(len(data)):
+        pre[i + 1] = (pre[i] * base + np.uint64(data[i])) % mod
+    hashes = (pre[k:] + mod * mod - (pre[:-k] * powers[k]) % mod) % mod
+    hashes = hashes[:n]
+    if n <= window:
+        return [int(hashes.min())]
+    out = []
+    last = -1
+    for w0 in range(n - window + 1):
+        win = hashes[w0 : w0 + window]
+        m = int(win.min())
+        pos = w0 + int(np.flatnonzero(win == m)[-1])  # rightmost min
+        if pos != last:
+            out.append(int(hashes[pos]))
+            last = pos
+    return out
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints as an Arrow-batched pandas UDF (the
+    rolling-hash scheme is not SQL-expressible -> rows-only check)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: winnow_fingerprint(t or ""))
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        winnow("text").alias("fingerprints"),
+        F.size(winnow("text")).alias("n_fingerprints"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality_score,
         "text_lang_guess": _q_lang_guess,
         "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprint": _q_winnow,  # rows-only (rolling hash)
     }
 
 

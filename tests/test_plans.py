@@ -68,6 +68,7 @@ def test_entry_contract_shapes(spark):
     # every oracle-less query is a documented exception
     assert set(qs) - set(os_) == {
         "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
+        "text_winnow_fingerprint",
     }
     df = em.entry(spark)
     assert df.count() > 0
