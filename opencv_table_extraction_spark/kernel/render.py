@@ -178,10 +178,15 @@ def render_table(pt: ParsedTable, noise_seed: int = 0) -> tuple[np.ndarray, np.n
         for dx in range(0, n_px, 6):
             sx = int(x) + 4 + dx
             img[cy : cy + 2, sx : sx + min(3, n_px - dx)] = 0
-    # deterministic noise specks (2x2 px, below min_area; removed by opens)
-    rng = np.random.RandomState(noise_seed & 0x7FFFFFFF)
+    # deterministic noise specks (2x2 px, below min_area; removed by
+    # opens). Inline LCG (Numerical Recipes constants) instead of a
+    # RandomState: constructing one per turn costs more than the kernel's
+    # entire morphology on a compact canvas.
+    state = (noise_seed & 0x7FFFFFFF) or 1
     for _ in range(3):
-        nx = int(rng.randint(1, max(2, W - 4)))
-        ny = int(rng.randint(1, max(2, H - 4)))
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        nx = 1 + state % max(1, W - 5)
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        ny = 1 + state % max(1, H - 5)
         img[ny : ny + 2, nx : nx + 2] = 0
     return img, rects

@@ -65,16 +65,25 @@ def parse_scan(text: str) -> tuple[int, int, np.ndarray, str]:
     return W, H, np.array(regs, dtype=np.float64).reshape(-1, 5), transcript
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _dither_pattern(H: int, W: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:H, 0:W]
+    return (yy * 7 + xx * 3) % 16
+
+
 def render_scan(W: int, H: int, regions: np.ndarray) -> np.ndarray:
     """Rasterize ink regions as dithered strokes at the given density.
 
     Deterministic Bayer-style dither: within a region of density d, pixel
     (y, x) is ink iff ((y * 7 + x * 3) % 16) < d * 16. Gives ink pixel
-    counts proportional to d * area without randomness.
+    counts proportional to d * area without randomness. The pattern is
+    cached per page size (pages in a batch share dimensions).
     """
     img = np.full((H, W), 255, dtype=np.uint8)
-    yy, xx = np.mgrid[0:H, 0:W]
-    pattern = (yy * 7 + xx * 3) % 16
+    pattern = _dither_pattern(H, W)
     for x, y, w, h, d in regions:
         x0, y0 = int(x), int(y)
         x1, y1 = min(W, x0 + int(w)), min(H, y0 + int(h))
