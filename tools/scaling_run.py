@@ -32,6 +32,7 @@ from opencv_table_extraction_spark.plans import extract_transcripts, lineage_sum
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); fixture = sys.argv[2]; runs = int(sys.argv[3])
+narrow = len(sys.argv) > 4 and sys.argv[4] == "narrow"
 spark = build_session("octe-scaling", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus,
                       extra_confs={{"spark.ui.enabled": "false",
@@ -42,7 +43,12 @@ n = df.count()
 
 def one_run():
     t0 = time.time()
-    out = extract_transcripts(df, salt_buckets=8, repartition_to=cpus * 4,
+    # narrow: the map runs straight off the (many-file, size-balanced)
+    # scan with no pre-shuffle — the layout a bucketed store gives you;
+    # salted: the explicit skew path (hot-conversation clustering)
+    out = extract_transcripts(df,
+                              salt_buckets=None if narrow else 8,
+                              repartition_to=None if narrow else cpus * 4,
                               add_turn_seq=False)
     lin = lineage_summary(out).collect()
     wall = time.time() - t0
@@ -65,13 +71,28 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, fixture: str, runs: int) -> dict:
+def wait_for_quiet(max_load: float = 1.5, timeout_s: int = 600) -> float:
+    """Block until the host 1-min loadavg drops below max_load (shared
+    host: ambient tenants otherwise pollute a sample); returns the load
+    observed at release."""
+    import time
+
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load <= max_load or time.time() - t0 > timeout_s:
+            return load
+        time.sleep(10)
+
+
+def run_level(cpus: int, fixture: str, runs: int, narrow: bool = False) -> dict:
     script = _CHILD.format(repo=REPO)
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(script)
         path = f.name
     out = subprocess.run(
-        [sys.executable, path, str(cpus), fixture, str(runs)],
+        [sys.executable, path, str(cpus), fixture, str(runs)]
+        + (["narrow"] if narrow else []),
         capture_output=True, text=True, timeout=3600, check=False,
     )
     os.unlink(path)
@@ -92,6 +113,9 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--combine", nargs=2, metavar=("LOW_JSON", "HIGH_JSON"),
                     default=None, help="combine two per-level dumps")
+    ap.add_argument("--narrow", action="store_true",
+                    help="no pre-map shuffle: map straight off the "
+                         "many-file scan (size-balanced store layout)")
     ap.add_argument("--interleave", action="store_true",
                     help="alternate fresh-JVM runs of the two levels "
                          "(fair under drifting ambient load); one timed "
@@ -127,12 +151,15 @@ def main() -> None:
         # timed run)
         lo = {"cpus": args.low, "n_turns": None, "walls": [], "skew": None}
         hi = {"cpus": args.high, "n_turns": None, "walls": [], "skew": None}
+        loads = []
         for _ in range(args.runs):
             for acc, cpus in ((lo, args.low), (hi, args.high)):
-                r = run_level(cpus, fixture, 1)
+                loads.append(round(wait_for_quiet(), 2))
+                r = run_level(cpus, fixture, 1, narrow=args.narrow)
                 acc["walls"].extend(r["walls"])
                 acc["n_turns"] = r["n_turns"]
                 acc["skew"] = r["skew"]
+        print(json.dumps({"ambient_load_at_start": loads}))
         print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"]}))
     else:
         lo = run_level(args.low, fixture, args.runs)
