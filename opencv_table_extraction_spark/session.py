@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["build_session", "ENGINE_CONFS"]
+__all__ = ["build_session", "tune_scan_for_cpu_bound", "ENGINE_CONFS"]
 
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
@@ -26,6 +26,24 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
+
+
+def tune_scan_for_cpu_bound(
+    spark: SparkSession, max_partition_mb: int = 4, open_cost_kb: int = 512
+) -> None:
+    """Size file splits for a CPU-bound map over the scan.
+
+    Spark's file reader bin-packs small files by BYTES (128MB splits +
+    4MB open cost by default). When the per-row cost is image work, not
+    IO, a packed split becomes a 10x straggler: bytes are the wrong
+    proxy for work. Call this before reading a many-small-file table
+    that feeds the kernel narrowly (no pre-shuffle); leave defaults for
+    ordinary relational scans, where bytes ~ work.
+    """
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max_partition_mb * 1024 * 1024)
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost_kb * 1024))
 
 
 def build_session(

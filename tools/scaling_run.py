@@ -33,10 +33,16 @@ from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); fixture = sys.argv[2]; runs = int(sys.argv[3])
 narrow = len(sys.argv) > 4 and sys.argv[4] == "narrow"
+extra = {{"spark.ui.enabled": "false", "spark.driver.memory": "48g"}}
+if narrow:
+    # CPU-bound scan: bytes are a bad proxy for work, so stop the file
+    # reader from bin-packing the many small files into a few partitions
+    # (default 128MB maxPartitionBytes + 4MB openCost packs ~20 files
+    # per split -> a 10x straggler). 4MB splits ~= one file per task.
+    extra["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
+    extra["spark.sql.files.openCostInBytes"] = str(512 * 1024)
 spark = build_session("octe-scaling", master=f"local[{{cpus}}]",
-                      shuffle_partitions=cpus,
-                      extra_confs={{"spark.ui.enabled": "false",
-                                   "spark.driver.memory": "48g"}})
+                      shuffle_partitions=cpus, extra_confs=extra)
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(fixture)
 n = df.count()
