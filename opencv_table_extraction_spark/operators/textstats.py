@@ -131,50 +131,52 @@ FROM documents
 
 def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
     """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
-    SIGMOD 2003): Rabin-Karp rolling hash over k-grams of the normalized
-    text, then the minimum hash per sliding window (rightmost-min rule)
-    — the standard local fingerprinting scheme whose selected hashes are
-    stable under local edits. Pure Python/NumPy; deterministic."""
+    SIGMOD 2003): Rabin-Karp polynomial hash over character k-grams of
+    the whitespace-normalized text, then the minimum hash per sliding
+    window with the rightmost-min tie rule — the standard local
+    fingerprinting scheme whose selected hashes are stable under local
+    edits.
+
+    Fully vectorized: the k-gram hashes are computed with k Horner
+    passes over the whole code-point array (no per-character Python
+    loop), and window selection uses a strided sliding-window argmin.
+    Hashing is over Unicode code points (utf-32), so the exact same
+    value is computable engine-independently (the DuckDB oracle mirrors
+    it with ord()/substring)."""
     import numpy as np
 
     s = " ".join(text.lower().split())
     if len(s) < k:
         return []
-    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-    if len(data) < k:
-        return []
-    # mod < 2^31 so every intermediate product stays < 2^62: exact in
-    # uint64 (a larger modulus would silently wrap and break the rolling
-    # identity)
+    data = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    # mod < 2^31 keeps every Horner intermediate (< mod*base + 0x10FFFF)
+    # well under 2^64: exact, overflow-free uint64 arithmetic
     base = np.uint64(131)
     mod = np.uint64((1 << 31) - 1)
     n = len(data) - k + 1
-    # rolling hash via prefix products (vectorized)
-    powers = np.ones(len(data) + 1, dtype=np.uint64)
-    for i in range(1, len(powers)):
-        powers[i] = (powers[i - 1] * base) % mod
-    pre = np.zeros(len(data) + 1, dtype=np.uint64)
-    for i in range(len(data)):
-        pre[i + 1] = (pre[i] * base + np.uint64(data[i])) % mod
-    hashes = (pre[k:] + mod * mod - (pre[:-k] * powers[k]) % mod) % mod
-    hashes = hashes[:n]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k vectorized passes, not len(s) scalar steps
+        h = (h * base + data[j : j + n]) % mod
     if n <= window:
-        return [int(hashes.min())]
-    out = []
-    last = -1
-    for w0 in range(n - window + 1):
-        win = hashes[w0 : w0 + window]
-        m = int(win.min())
-        pos = w0 + int(np.flatnonzero(win == m)[-1])  # rightmost min
-        if pos != last:
-            out.append(int(hashes[pos]))
-            last = pos
-    return out
+        return [int(h.min())]
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost min per window: argmin over the reversed window
+    j = (window - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + j
+    # selected positions are non-decreasing as the window slides, so
+    # collapsing consecutive repeats == the classic "new position only"
+    # winnowing emission rule
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    return [int(x) for x in h[pos[keep]]]
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints as an Arrow-batched pandas UDF (the
-    rolling-hash scheme is not SQL-expressible -> rows-only check)."""
+    """Winnowing fingerprints as an Arrow-batched pandas UDF, emitted in
+    driver-canonicalizable form (count + CSV string, no list column).
+    The UDF is evaluated ONCE per row; n_fingerprints derives from the
+    aliased column."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -182,11 +184,55 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.map(lambda t: winnow_fingerprint(t or ""))
 
     d = _docs(spark, sf_dir)
-    return d.select(
+    return d.select("doc_id", winnow("text").alias("fps")).select(
         "doc_id",
-        winnow("text").alias("fingerprints"),
-        F.size(winnow("text")).alias("n_fingerprints"),
+        F.size("fps").alias("n_fingerprints"),
+        F.array_join(F.transform("fps", lambda x: x.cast("string")), ",").alias(
+            "fingerprints_csv"
+        ),
     )
+
+
+def _winnow_horner_sql(k: int = 8) -> str:
+    """The k-gram Rabin-Karp hash as a nested Horner mod-expression over
+    ord(code point) — the exact arithmetic winnow_fingerprint performs."""
+    e = "(CAST(ord(substring(s, CAST(i AS INT), 1)) AS BIGINT) % 2147483647)"
+    for j in range(1, k):
+        e = (
+            f"(({e} * 131 + CAST(ord(substring(s, CAST(i AS INT) + {j}, 1))"
+            " AS BIGINT)) % 2147483647)"
+        )
+    return e
+
+
+_SQL_WINNOW = rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN length(s) < 8 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, length(s) - 6), i -> {_winnow_horner_sql()})
+    END AS H
+  FROM norm),
+sel AS (
+  SELECT doc_id,
+    CASE WHEN len(H) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(H) <= 6 THEN [list_min(H)]
+         ELSE list_transform(
+            list_sort(list_distinct(list_transform(
+              range(0, len(H) - 5),
+              w -> CAST(w AS INT) + 7 - list_position(
+                     list_reverse(H[CAST(w AS INT)+1:CAST(w AS INT)+6]),
+                     list_min(H[CAST(w AS INT)+1:CAST(w AS INT)+6]))))),
+            p -> H[CAST(p AS INT)])
+    END AS fps
+  FROM hashed)
+SELECT doc_id, len(fps) AS n_fingerprints,
+       coalesce(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ','),
+                '') AS fingerprints_csv
+FROM sel
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -195,7 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality_score,
         "text_lang_guess": _q_lang_guess,
         "text_fingerprint": _q_fingerprint,
-        "text_winnow_fingerprint": _q_winnow,  # rows-only (rolling hash)
+        "text_winnow_fingerprint": _q_winnow,
     }
 
 
@@ -205,4 +251,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _SQL_QUALITY,
         "text_lang_guess": _SQL_LANG,
         "text_fingerprint": _SQL_FINGERPRINT,
+        "text_winnow_fingerprint": _SQL_WINNOW,
     }
