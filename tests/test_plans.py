@@ -65,11 +65,8 @@ def test_entry_contract_shapes(spark):
     qs = em.queries()
     os_ = em.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is a documented exception
-    assert set(qs) - set(os_) == {
-        "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
-        "text_winnow_fingerprint",
-    }
+    # every query has an exact DuckDB oracle (r2: no rows-only exceptions)
+    assert set(qs) - set(os_) == set()
     df = em.entry(spark)
     assert df.count() > 0
     assert "extracted_text" in df.columns and "conv_id" in df.columns
