@@ -19,6 +19,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
 
 N_HASHES = 32
 N_BANDS = 16  # 16 bands x 2 rows: ~0.99 candidate recall at jaccard 0.5
@@ -85,19 +94,23 @@ FROM corpus GROUP BY 1
 """
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingle set, as a JVM-side array expression."""
+def shingles(col, n: int = 3, distinct: bool = True):
+    """Word n-gram shingle set, as a JVM-side array expression.
+
+    ``distinct=False`` skips the array_distinct pass — correct wherever
+    duplicates are harmless (the minhash min is duplicate-insensitive),
+    and worth it: distinct over a ~200-element string array is the most
+    expensive part of the expression."""
     toks = F.split(F.trim(col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            # try_element_at: texts shorter than n tokens yield one
-            # partial shingle instead of an ANSI out-of-bounds error
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-            ),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        # try_element_at: texts shorter than n tokens yield one
+        # partial shingle instead of an ANSI out-of-bounds error
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,17 +161,139 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-def minhash_signature(sh_col, n_hashes: int = N_HASHES):
-    """MinHash signature as a JVM-side expression over an already-
-    materialized shingle-array column: for each seed s, min over
-    shingles of xxhash64(shingle, s). Taking the array column (not the
-    text) avoids recomputing the shingle expression per consumer."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh_col, lambda x: F.xxhash64(x, s.cast("string")))
-        ),
+def _minhash_band_batches(batches, n_hashes: int, n_bands: int):
+    """Arrow-batch kernel: (doc_id, text) -> (doc_id, band_id, band_hash).
+
+    Why a mapInArrow kernel and not expression algebra: Spark evaluates
+    higher-order-function lambdas INTERPRETED (no whole-stage codegen
+    inside transform/aggregate), so any per-shingle x per-seed JVM
+    formulation pays ~100ns-scale interpreter overhead per term — three
+    attempts measured 50s/183s/323s for the sf0.1 LSH query depending on
+    how much work the optimizer duplicated into the lambdas. The same
+    arithmetic as vectorized NumPy over Arrow batches is ~1-2s. This is
+    the engine's standing rule (BASELINE.json input_hint): custom
+    numeric kernels ride Arrow batches; joins/aggregations stay JVM.
+
+    Scheme (all public-knowledge: Broder minhash + universal hashing):
+      token hash   = pandas hash_array (siphash, fixed key — process
+                     independent and deterministic);
+      shingle hash = mix of 3 consecutive token hashes (wrapping uint64);
+      signature_i  = min over shingles of (a_i*h32 + b_i) mod (2^31-1);
+      band hash    = fold of the band's signature rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pandas.util import hash_array
+
+    rows_per_band = n_hashes // n_bands
+    # deterministic multipliers/offsets (golden-ratio Weyl sequence)
+    A = np.array(
+        [((0x9E3779B97F4A7C15 * (i + 1)) & 0x7FFFFFFF) | 1 for i in range(n_hashes)],
+        dtype=np.uint64,
+    ).reshape(-1, 1)
+    B = np.array(
+        [(0xC2B2AE3D27D4EB4F * (i + 1)) & 0x7FFFFFFF for i in range(n_hashes)],
+        dtype=np.uint64,
+    ).reshape(-1, 1)
+    P = np.uint64((1 << 31) - 1)
+    M32 = np.uint64((1 << 32) - 1)
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np.uint64(0x165667B19E3779F9)
+    BANDF = np.uint64(1000003)
+    band_ids = np.arange(n_bands, dtype=np.int32)
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc = np.empty(len(doc_ids) * n_bands, dtype=np.int64)
+        out_hash = np.empty(len(doc_ids) * n_bands, dtype=np.uint64)
+        for i, (doc_id, text) in enumerate(zip(doc_ids, texts)):
+            toks = (text or "").split()
+            th = hash_array(np.asarray(toks or [""], dtype=object))
+            if len(th) < 3:  # one partial shingle, zero-padded
+                th = np.pad(th, (0, 3 - len(th)))
+            with np.errstate(over="ignore"):  # wrapping uint64 is the point
+                sh = (th[:-2] * C1) ^ (th[1:-1] * C2) ^ (th[2:] * C3)
+                vals = (A * (sh & M32)[None, :] + B) % P
+                sig = vals.min(axis=1).reshape(n_bands, rows_per_band)
+                bh = np.zeros(n_bands, dtype=np.uint64)
+                for c in range(rows_per_band):
+                    bh = bh * BANDF + sig[:, c]
+            out_doc[i * n_bands : (i + 1) * n_bands] = doc_id
+            out_hash[i * n_bands : (i + 1) * n_bands] = bh
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_doc, type=pa.int64()),
+                pa.array(np.tile(band_ids, len(doc_ids)), type=pa.int32()),
+                pa.array(out_hash.astype(np.int64), type=pa.int64()),
+            ],
+            names=["doc_id", "band_id", "band_hash"],
+        )
+
+
+def minhash_band_rows(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, text) -> n_bands rows (doc_id, band_id, band_hash); the
+    narrow, CPU-bound LSH signature stage. Explicit-count repartition so
+    a 1-file scan doesn't serialize it (AQE byte-coalescing exemption)."""
+    import functools
+
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band_id", IntegerType()),
+            StructField("band_hash", LongType()),
+        ]
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    fn = functools.partial(_minhash_band_batches, n_hashes=n_hashes, n_bands=n_bands)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(par, "doc_id")
+        .mapInArrow(fn, schema)
+    )
+
+
+def _jaccard_verify_batches(batches):
+    """Arrow-batch kernel: (a_id, b_id, a_text, b_text) -> exact word-
+    3-gram Jaccard per candidate pair. Mirrors shingles()/the DuckDB
+    oracle exactly: whitespace tokens, " ".join 3-grams (one partial
+    gram for <3-token texts), set semantics, and HALF-UP rounding to 4
+    places (Spark's ROUND and DuckDB's round both round half away from
+    zero; Python's built-in round is banker's — hence the floor form).
+    """
+    import math
+
+    import pyarrow as pa
+
+    def gram_set(text: str) -> set:
+        toks = (text or "").strip().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    for batch in batches:
+        a_ids = batch.column("a_id").to_pylist()
+        b_ids = batch.column("b_id").to_pylist()
+        a_txt = batch.column("a_text").to_pylist()
+        b_txt = batch.column("b_text").to_pylist()
+        jacs = []
+        for ta, tb in zip(a_txt, b_txt):
+            sa, sb = gram_set(ta), gram_set(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            j = inter / union if union else float("nan")
+            jacs.append(math.floor(j * 10000 + 0.5) / 10000)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(a_ids, type=pa.int64()),
+                pa.array(b_ids, type=pa.int64()),
+                pa.array(jacs, type=pa.float64()),
+            ],
+            names=["a_id", "b_id", "jaccard"],
+        )
 
 
 def minhash_lsh_pairs(
@@ -167,86 +302,58 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, fully distributed:
-      1. per-doc signature (narrow, JVM-side);
-      2. explode into n_bands (band_id, band_hash) keys;
-      3. self-join on the band key (shuffle join on a short key — the
-         scale path: no pairwise work outside shared buckets);
-      4. exact-Jaccard verification of the candidates.
+      1. per-doc signature -> band keys (narrow Arrow kernel);
+      2. bucket by (band_id, band_hash), enumerate in-bucket pairs;
+      3. exact-Jaccard verification of the deduped candidates.
     """
-    rows_per_band = N_HASHES // n_bands
-    # signature computation is the CPU-heavy narrow stage (n_hashes x
-    # |shingles| xxhash64 per doc); repartition explicitly so a 1-file
-    # scan doesn't serialize it into two tasks
     par = corpus.sparkSession.sparkContext.defaultParallelism * 2
     docs = corpus.select("doc_id", "text")
-    sig = (
-        docs.repartition(par, "doc_id")
-        .withColumn("sh", shingles(F.col("text")))
-        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    bands = minhash_band_rows(docs, n_bands=n_bands)
+    # candidate pairs via ONE exchange: group band rows by bucket key and
+    # enumerate ordered pairs inside each bucket. A self-join would
+    # re-execute the whole scan->shingle->signature pipeline for both
+    # sides (no ReusedExchange: the two sides project different aliases);
+    # the groupBy computes signatures once. Bucket pair-expansion is
+    # quadratic per bucket by LSH's nature — at production scale cap or
+    # drop over-hot buckets (they are exact-dup families better handled
+    # by dedup_exact first).
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    # band rows carry ONLY (doc_id, band_id, band_hash) — never the
-    # shingle array: the n_bands-way explode and the self-join shuffle
-    # 24 bytes/row instead of the full shingle set (the r1 plan shipped
-    # every document's shingles ~2*n_bands times through this exchange)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    (b * rows_per_band + 1).cast("int"),
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a_id"), F.greatest(x, y).alias("b_id")
                 ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-    cand = (
-        bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
-        .join(
-            bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
+            ),
         )
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     # rejoin the source text once per side (text is smaller than the
     # shingle array and ships once per DEDUPED candidate pair, not once
-    # per band match); shingles are recomputed post-join, so the CPU
-    # cost lands only on candidate rows
+    # per band match); exact-Jaccard verification runs in an Arrow
+    # kernel — the JVM formulation (shingles() + array_intersect per
+    # pair) costs ~8ms/pair because higher-order-function lambdas are
+    # interpreted, vs ~20us/pair for C-level Python set ops
     ver = (
         cand.join(docs.select(F.col("doc_id").alias("a_id"),
                               F.col("text").alias("a_text")), "a_id")
         .join(docs.select(F.col("doc_id").alias("b_id"),
                           F.col("text").alias("b_text")), "b_id")
-        # candidate verification is CPU-quadratic per row (shingle-set
-        # intersections) — explicit count exempts it from AQE coalescing
+        # CPU-bound verify: explicit count exempts it from AQE coalescing
         .repartition(par, "a_id", "b_id")
-        .withColumn("a_sh", shingles(F.col("a_text")))
-        .withColumn("b_sh", shingles(F.col("b_text")))
+        .mapInArrow(_jaccard_verify_batches, _VERIFY_SCHEMA)
     )
-    jac = F.round(
-        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-        / F.size(F.array_union("a_sh", "b_sh")),
-        4,
-    )
-    return (
-        ver.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return ver.where(F.col("jaccard") >= threshold)
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
