@@ -48,6 +48,42 @@ def test_broadcast_join_used_for_small_dim(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_assign_is_narrow(spark):
+    """Nearest-centroid assignment must be a per-row argmax — no Window,
+    no Exchange (the r1 crossJoin+row_number shape shuffled N*K rows)."""
+    from opencv_table_extraction_spark.operators.similarity import _q_ivf_assign
+
+    q = _q_ivf_assign(spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+
+
+def test_lsh_band_rows_shuffle_only_keys(spark):
+    """The LSH band exchange must carry only (doc_id, band_id, band_hash)
+    — never text or shingle arrays (the r1 shuffle amplifier)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    q = minhash_lsh_pairs(dedup_corpus(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q)
+    # formatted plans list each Exchange's Input columns right below it
+    band_exchanges = [
+        blk for blk in plan.split("\n\n")
+        if blk.lstrip().startswith("(") and ") Exchange" in blk.split("\n")[0]
+        and "band_id" in blk
+    ]
+    assert band_exchanges, plan
+    import re
+
+    for blk in band_exchanges:
+        input_line = next(ln for ln in blk.split("\n") if "Input" in ln)
+        assert "text" not in input_line, blk
+        assert not re.search(r"\bsh#", input_line), blk
+
+
 def test_kernel_stage_not_coalesced_to_one_task(spark, fixture_dir):
     """The CPU-bound kernel repartition carries an explicit count, so
     AQE must not collapse it to a single task (the 1-task regression the
