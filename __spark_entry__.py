@@ -60,6 +60,25 @@ def _q_extract_order_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_tables_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same order-table extraction routed through the ADAPTIVE
+    (integral-image mean-C) threshold instead of Otsu (kernel A5,
+    imaging.py:79). Shares the tables oracle: a hash-match certifies
+    that adaptive binarization recovers the identical grid, cells, and
+    spans end-to-end — the branch Otsu-default queries never execute."""
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False, use_adaptive=True)
+    return out.select(
+        F.col("turn_idx").cast("bigint").alias("order_key"),
+        "route",
+        "extracted_text",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.col("n_cols").cast("int").alias("n_cols"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        F.col("n_joints").cast("int").alias("n_joints"),
+    )
+
+
 def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("doc-"))
     out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
@@ -436,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A: the image-kernel pipeline, SQL-certified end-to-end
         "extract_order_tables": _q_extract_order_tables,
         "extract_order_cells": _q_extract_order_cells,
+        "extract_tables_adaptive": _q_extract_tables_adaptive,
         "extract_html_docs": _q_extract_html_docs,
         "extract_scan_routes": _q_extract_scan_routes,
         # B: relational operators (SURVEY.md §2.B)
@@ -463,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     o = {
         "extract_order_tables": _SQL_EXTRACT_TABLES,
         "extract_order_cells": _SQL_EXTRACT_CELLS,
+        "extract_tables_adaptive": _SQL_EXTRACT_TABLES,
         "extract_html_docs": _SQL_EXTRACT_HTML,
         "extract_scan_routes": _SQL_EXTRACT_SCANS,
         "pricing_summary": _SQL_PRICING,

@@ -113,23 +113,60 @@ def shingles(col, n: int = 3, distinct: bool = True):
     return F.array_distinct(grams) if distinct else grams
 
 
-def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard near-dup detection with an exact
-    SQL oracle. Blocking key = source (the natural shard); at cluster
-    scale the block join is a shuffle-on-key self-join, never a cross."""
-    c = dedup_corpus(spark, sf_dir).withColumn("sh", shingles(F.col("text")))
+def jaccard_pairs(
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard near-dup detection — the
+    brute-force VERIFICATION BASELINE, quadratic per block by design.
+    Blocking key = source (the natural shard).
+
+    Scale guards:
+      * exact length-ratio prefilter in the join condition (J >= t
+        implies t*|B| <= |A| <= |B|/t) — drops no true pair, skips the
+        expensive intersection for size-mismatched ones;
+      * ``max_block`` fail-fast: a production corpus with one hot block
+        is a cartesian bomb here; the guard raises with the offending
+        block sizes and points at the bounded operators
+        (dedup_jaccard_prefix_pairs / dedup_minhash_lsh_pairs) instead
+        of silently launching a quadratic job.
+    """
+    c = corpus.withColumn("sh", shingles(F.col("text")))
+    if max_block is not None:
+        hot = (
+            c.groupBy("source").count().where(F.col("count") > max_block).collect()
+        )
+        if hot:
+            raise ValueError(
+                f"jaccard_pairs: block(s) over max_block={max_block}: "
+                + ", ".join(f"{r['source']}={r['count']}" for r in hot)
+                + " — use dedup_jaccard_prefix_pairs or "
+                "dedup_minhash_lsh_pairs for unbounded blocks"
+            )
     a = c.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "source"
     )
     b = c.select(
         F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "source"
     )
-    pairs = a.join(b, "source").where(F.col("a_id") < F.col("b_id"))
+    pairs = (
+        a.join(b, "source")
+        .where(F.col("a_id") < F.col("b_id"))
+        # exact length filter: round() can lift a just-under ratio to the
+        # threshold, so pad the bound by the 4-digit rounding quantum
+        .where(
+            F.size("a_sh") >= (F.lit(threshold - 0.0001) * F.size("b_sh"))
+        )
+        .where(
+            F.size("b_sh") >= (F.lit(threshold - 0.0001) * F.size("a_sh"))
+        )
+    )
     # the pair set is small in bytes but quadratic in CPU (array
     # intersections): explicit repartition keeps AQE from collapsing the
     # compute stage to a couple of tasks
     pairs = pairs.repartition(
-        spark.sparkContext.defaultParallelism * 2, "a_id", "b_id"
+        corpus.sparkSession.sparkContext.defaultParallelism * 2, "a_id", "b_id"
     )
     jac = F.round(
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
@@ -138,9 +175,13 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(dedup_corpus(spark, sf_dir))
 
 
 _SQL_JACCARD = rf"""
@@ -306,7 +347,6 @@ def minhash_lsh_pairs(
       2. bucket by (band_id, band_hash), enumerate in-bucket pairs;
       3. exact-Jaccard verification of the deduped candidates.
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
     docs = corpus.select("doc_id", "text")
     bands = minhash_band_rows(docs, n_bands=n_bands)
     # candidate pairs via ONE exchange: group band rows by bucket key and
@@ -338,12 +378,21 @@ def minhash_lsh_pairs(
         .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    # rejoin the source text once per side (text is smaller than the
-    # shingle array and ships once per DEDUPED candidate pair, not once
-    # per band match); exact-Jaccard verification runs in an Arrow
-    # kernel — the JVM formulation (shingles() + array_intersect per
-    # pair) costs ~8ms/pair because higher-order-function lambdas are
-    # interpreted, vs ~20us/pair for C-level Python set ops
+    return verify_candidate_pairs(cand, docs, threshold)
+
+
+def verify_candidate_pairs(
+    cand: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs.
+
+    Rejoins the source text once per side (text is smaller than the
+    shingle array and ships once per DEDUPED candidate pair, not once
+    per band/bucket match); the Jaccard itself runs in an Arrow kernel —
+    the JVM formulation (shingles() + array_intersect per pair) costs
+    ~8ms/pair because higher-order-function lambdas are interpreted, vs
+    ~20us/pair for C-level Python set ops."""
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
     ver = (
         cand.join(docs.select(F.col("doc_id").alias("a_id"),
                               F.col("text").alias("a_text")), "a_id")
@@ -354,6 +403,84 @@ def minhash_lsh_pairs(
         .mapInArrow(_jaccard_verify_batches, _VERIFY_SCHEMA)
     )
     return ver.where(F.col("jaccard") >= threshold)
+
+
+def jaccard_prefix_pairs(
+    corpus: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the bounded
+    scale path for exact Jaccard (AllPairs/PPJoin family; the MapReduce
+    formulation follows Vernica/Carey/Li, SIGMOD 2010 — public
+    knowledge, reimplemented on DataFrames).
+
+    Theorem (no false negatives): order every document's shingle set by
+    one global total order; if J(A,B) >= t, then A and B share at least
+    one shingle within their first |S| - ceil(t*|S|) + 1 shingles. So
+    candidates = docs sharing a PREFIX shingle — no quadratic blocks,
+    no probabilistic recall. The global order is document-frequency
+    ascending (rarest first), which provably minimizes bucket sizes:
+    hot shingles land outside most prefixes.
+
+    Pipeline: shingle -> df count -> (df, shingle)-sort -> prefix
+    explode -> bucket pairs (ratio-filtered) -> exact Arrow verify.
+    """
+    t_eff = threshold - 0.0001  # guard the 4-digit rounding edge
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    docs = corpus.select("doc_id", "text")
+    docsh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", shingles(F.col("text")).alias("sh"))
+    )
+    ex = docsh.select("doc_id", F.explode("sh").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+    )
+    plen = (
+        F.size("osh")
+        - F.ceil(F.lit(t_eff) * F.size("osh")).cast("int")
+        + F.lit(1)
+    )
+    pre = ordered.select(
+        "doc_id",
+        F.size("osh").alias("sz"),
+        F.explode(F.slice(F.col("osh"), 1, plen)).alias("s"),
+    ).select("doc_id", "sz", F.col("s.shingle").alias("shingle"))
+    buckets = (
+        pre.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        F.least(x["doc_id"], y["doc_id"]).alias("a_id"),
+                        F.greatest(x["doc_id"], y["doc_id"]).alias("b_id"),
+                        F.least(x["sz"], y["sz"]).alias("mn"),
+                        F.greatest(x["sz"], y["sz"]).alias("mx"),
+                    ),
+                ),
+                # exact length-ratio filter: J >= t implies min >= t*max
+                lambda p: p["mn"] >= F.lit(t_eff) * p["mx"],
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return verify_candidate_pairs(cand, docs, threshold)
+
+
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_pairs(dedup_corpus(spark, sf_dir))
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_jaccard_prefix_pairs": _q_jaccard_prefix,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -526,6 +654,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _SQL_EXACT,
         "dedup_ngram_jaccard_pairs": _SQL_JACCARD,
+        # prefix filtering is EXACT (no false negatives), so its output
+        # equals the same brute-force all-pairs truth the LSH row uses
+        "dedup_jaccard_prefix_pairs": _SQL_MINHASH,
         "dedup_minhash_lsh_pairs": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,

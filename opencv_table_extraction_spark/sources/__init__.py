@@ -1,1 +1,6 @@
-from .catalog import SnapshotCatalog, run_resumable  # noqa: F401
+from .catalog import (  # noqa: F401
+    IcebergSnapshotCatalog,
+    SnapshotCatalog,
+    has_iceberg_runtime,
+    run_resumable,
+)

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import extract_transcripts, lineage_summary, with_turn_seq
 
-__all__ = ["SnapshotCatalog", "run_resumable"]
+__all__ = [
+    "SnapshotCatalog",
+    "IcebergSnapshotCatalog",
+    "has_iceberg_runtime",
+    "run_resumable",
+]
 
 
 class SnapshotCatalog:
@@ -76,11 +81,97 @@ class SnapshotCatalog:
         transform Iceberg's bucket(N, conv_id) partitioning plays."""
         return F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
 
+    def write_data(self, out: DataFrame) -> None:
+        """Idempotent per-bucket write: dynamic partition overwrite
+        replaces exactly the bucket directories this run owns. The
+        overwrite-mode conf is saved/restored — mutating the session
+        globally would silently change unrelated writes."""
+        spark = out.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.root, "data")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    def write_lineage(self, lineage: DataFrame) -> None:
+        """Lineage is partitioned by snapshot_id and dynamically
+        overwritten, so a crash-and-retry of the same snapshot replaces
+        its own lineage rows instead of appending duplicates (the data
+        write was already idempotent; this makes lineage match)."""
+        spark = lineage.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            lineage.write.mode("overwrite").partitionBy("snapshot_id").parquet(
+                os.path.join(self.root, "lineage")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
     def read_output(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "data"))
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "lineage"))
+
+
+def has_iceberg_runtime(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Snapshot")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSnapshotCatalog(SnapshotCatalog):
+    """The same commit contract bound to a real Iceberg table (requires
+    the iceberg-spark-runtime jar and a configured catalog — absent in
+    this sandbox, so these call sites are exercised only when
+    has_iceberg_runtime() is true; the interface/parquet tests cover the
+    contract either way).
+
+    Data lands via ``writeTo(table).overwritePartitions()`` (Iceberg's
+    dynamic overwrite: replaces exactly the bucket partitions present in
+    the frame — the idempotent-retry property the parquet backend
+    emulates); reads pin a snapshot via ``option("snapshot-id", ...)``.
+    The committed-bucket manifest stays in the JSON bookkeeping file:
+    Iceberg's own snapshot log tracks table versions, but WHICH conv
+    buckets a snapshot covered is engine metadata, not table metadata.
+    """
+
+    def __init__(
+        self, spark: SparkSession, table: str, root: str, n_buckets: int = 16
+    ) -> None:
+        super().__init__(root, n_buckets)
+        self.spark = spark
+        self.table = table
+
+    def write_data(self, out: DataFrame) -> None:
+        out.writeTo(self.table).overwritePartitions()
+
+    def write_lineage(self, lineage: DataFrame) -> None:
+        lineage.writeTo(f"{self.table}_lineage").overwritePartitions()
+
+    def read_output(self, spark: SparkSession, snapshot_id: int | None = None):
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(self.table)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format("iceberg").load(f"{self.table}_lineage")
 
 
 def run_resumable(
@@ -122,15 +213,8 @@ def run_resumable(
         n_turns = sum(r["n_turns"] for r in lin_rows)
 
         out = with_turn_seq(raw).withColumn("bucket", catalog.bucket_col())
-        # idempotent per-bucket write: dynamic partition overwrite replaces
-        # exactly the bucket directories this run owns
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(catalog.root, "data")
-        )
-        spark.createDataFrame(lin_rows, lineage.schema).write.mode("append").parquet(
-            os.path.join(catalog.root, "lineage")
-        )
+        catalog.write_data(out)
+        catalog.write_lineage(spark.createDataFrame(lin_rows, lineage.schema))
     finally:
         raw.unpersist()
     committed_id = catalog.commit(todo)

@@ -5,8 +5,13 @@ Structured Streaming over the transcript source with
 newly-committed Iceberg snapshots) are processed as micro-batches, and
 ``foreachBatch`` reuses the exact batch pipeline body — one code path,
 two drivers. No event-time aggregation is in the spec (`ts` is carried,
-not aggregated), so no watermark/state is required; the checkpoint dir
-carries exactly-once file tracking across restarts.
+not aggregated), so no watermark/state is required.
+
+Exactly-once END TO END, not just at the source: the checkpoint makes
+file tracking exactly-once, but a blind append sink would double rows
+when a micro-batch fails after a partial write and is retried. The sink
+therefore partitions by batch_id and dynamically overwrites — a retried
+batch replaces its own partition, so output is idempotent per batch.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -55,8 +61,22 @@ def run_incremental(
         out = with_turn_seq(
             extract_transcripts(batch_df, salt_buckets=salt_buckets,
                                 add_turn_seq=False)
-        )
-        out.write.mode("append").parquet(os.path.join(out_dir, "data"))
+        ).withColumn("batch_id", F.lit(batch_id))
+        # idempotent sink: a retried micro-batch overwrites ITS OWN
+        # batch_id partition instead of appending duplicates
+        spark = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("batch_id").parquet(
+                os.path.join(out_dir, "data")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         n_batches += 1
 
     stream = (

@@ -80,6 +80,41 @@ def test_simhash_pairs_find_planted_near_dups(spark):
     assert all(h <= 14 for h in pairs.values())
 
 
+def test_jaccard_block_guard_raises_on_hot_block(spark):
+    """The brute-force block join must fail fast on a cartesian-bomb
+    block instead of silently launching a quadratic job."""
+    import pytest as _pytest
+
+    from opencv_table_extraction_spark.operators.dedup import jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    hot = d.withColumn("source", F.lit("one-hot-shard"))
+    with _pytest.raises(ValueError, match="one-hot-shard"):
+        jaccard_pairs(hot, max_block=50)
+    # under the cap it runs
+    ok = d.limit(40).withColumn("source", F.lit("one-hot-shard"))
+    jaccard_pairs(ok, max_block=50).count()
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the pairs the quadratic
+    baseline finds at the same threshold (the no-false-negatives
+    theorem, end to end)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+    )
+
+    corpus = dedup_corpus(spark, SF).withColumn("source", F.lit("all"))
+    brute = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in jaccard_pairs(corpus, threshold=0.5).collect()}
+    pref = {(r["a_id"], r["b_id"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(corpus, threshold=0.5).collect()}
+    assert set(pref) == set(brute)
+    assert all(abs(pref[k] - brute[k]) < 1e-9 for k in pref)
+
+
 def test_recognizer_seam_is_pluggable():
     from opencv_table_extraction_spark.kernel.router import Recognizer, transcribe
 

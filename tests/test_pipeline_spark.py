@@ -99,6 +99,56 @@ def test_resumable_restart_equals_single_run(spark, fixture_dir, tmp_path, extra
     assert {r["snapshot_id"] for r in lin.collect()} == {1, 2}
 
 
+def test_lineage_idempotent_and_conf_restored(spark, fixture_dir, tmp_path):
+    """Re-writing a snapshot's data+lineage (the crash-between-write-and-
+    commit retry) must not duplicate lineage rows, and the global
+    partitionOverwriteMode conf must be restored after every write."""
+    from opencv_table_extraction_spark.plans import with_turn_seq
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    cat = SnapshotCatalog(str(tmp_path / "cat"), n_buckets=4)
+    raw = extract_transcripts(df, salt_buckets=4, add_turn_seq=False)
+    lineage = lineage_summary(raw).withColumn("snapshot_id", F.lit(1))
+    out = with_turn_seq(raw).withColumn("bucket", cat.bucket_col())
+    for _ in range(2):  # second write simulates the retry
+        cat.write_data(out)
+        cat.write_lineage(lineage)
+    lin = cat.read_lineage(spark)
+    assert lin.groupBy("snapshot_id", "partition_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    assert lin.agg(F.sum("n_turns")).collect()[0][0] == df.count()
+    assert cat.read_output(spark).count() == df.count()
+    assert spark.conf.get(key, None) == before
+
+
+def test_iceberg_binding_contract(spark, tmp_path):
+    """The Iceberg call sites are code behind the same interface; the
+    sandbox has no runtime jar, so the real write path only runs when
+    has_iceberg_runtime() is true."""
+    from opencv_table_extraction_spark.sources import (
+        IcebergSnapshotCatalog,
+        has_iceberg_runtime,
+    )
+
+    # the interface is identical (duck-typed by run_resumable)
+    for m in ("write_data", "write_lineage", "read_output", "read_lineage",
+              "committed_buckets", "commit", "bucket_col", "last_snapshot_id"):
+        assert callable(getattr(IcebergSnapshotCatalog, m, None)), m
+    if not has_iceberg_runtime(spark):
+        pytest.skip("iceberg-spark-runtime jar absent in sandbox")
+    cat = IcebergSnapshotCatalog(spark, "local.db.extract_out",
+                                 str(tmp_path / "icecat"))
+    df = spark.range(3).select(
+        F.concat(F.lit("c-"), F.col("id").cast("string")).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+    ).withColumn("bucket", F.lit(0))
+    cat.write_data(df)
+    assert cat.read_output(spark).count() == 3
+
+
 def test_salting_bounds_skew(spark, fixture_dir):
     """The 50x skew-monster conversation must not serialize into one
     task: with salting, the max per-partition kernel time is bounded
