@@ -48,6 +48,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
         "extract_full_pipeline": q_extract_full,
         "extract_order_tables": mk("extract_order_tables"),
         "dedup_minhash_lsh_pairs": mk("dedup_minhash_lsh_pairs"),
+        "dedup_jaccard_prefix_pairs": mk("dedup_jaccard_prefix_pairs"),
         "dedup_exact": mk("dedup_exact"),
         "sim_embedding_topk": mk("sim_embedding_topk"),
         "sim_ivf_assign": mk("sim_ivf_assign"),

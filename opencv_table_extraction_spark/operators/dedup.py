@@ -405,6 +405,35 @@ def verify_candidate_pairs(
     return ver.where(F.col("jaccard") >= threshold)
 
 
+def _shingle_rows_batches(batches):
+    """Arrow-batch kernel: (doc_id, text) -> one row per DISTINCT word
+    3-gram (doc_id, shingle, sz). Same gram semantics as shingles()/
+    _jaccard_verify_batches (one partial gram for <3-token texts).
+    Exists because the shingles() JVM expression is interpreted HOF
+    (~3ms/doc) and every downstream consumer re-executes its subtree —
+    the Python set build is ~10us/doc and cheap to recompute."""
+    import pyarrow as pa
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh, out_sz = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            toks = (text or "").strip().split()
+            grams = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+            out_id.extend([doc_id] * len(grams))
+            out_sh.extend(grams)
+            out_sz.extend([len(grams)] * len(grams))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_sh, type=pa.string()),
+                pa.array(out_sz, type=pa.int32()),
+            ],
+            names=["doc_id", "shingle", "sz"],
+        )
+
+
 def jaccard_prefix_pairs(
     corpus: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
@@ -424,14 +453,23 @@ def jaccard_prefix_pairs(
     Pipeline: shingle -> df count -> (df, shingle)-sort -> prefix
     explode -> bucket pairs (ratio-filtered) -> exact Arrow verify.
     """
+    from pyspark.sql.types import IntegerType, StringType
+
     t_eff = threshold - 0.0001  # guard the 4-digit rounding edge
     par = corpus.sparkSession.sparkContext.defaultParallelism * 2
     docs = corpus.select("doc_id", "text")
-    docsh = (
-        docs.repartition(par, "doc_id")
-        .select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shingle", StringType()),
+            StructField("sz", IntegerType()),
+        ]
     )
-    ex = docsh.select("doc_id", F.explode("sh").alias("shingle"))
+    ex = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(par, "doc_id")
+        .mapInArrow(_shingle_rows_batches, sh_schema)
+    )
     df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
         ex.join(df_tbl, "shingle")

@@ -118,6 +118,14 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sample_frames, FRAME_SCHEMA)
 
 
+# ASCII-ONLY ORACLE ASSUMPTION (holds for the synthetic corpus, asserted
+# below): sample_frames slices BYTES while this SQL slices CHARACTERS
+# (substring(text, i*64+1, 4)) — they agree only when every char is one
+# byte; likewise _SQL_META pins kind='application/octet-stream', valid
+# because no doc text starts with a sniffable magic (e.g. 'RIFF').
+# tests/test_operators.py::test_multimodal_oracle_ascii_assumption pins
+# both corpus properties so a testdata change fails loudly instead of
+# silently diverging from the oracle.
 _SQL_FRAMES = rf"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(i AS INT) AS frame_idx,

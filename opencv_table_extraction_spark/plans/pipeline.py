@@ -100,6 +100,11 @@ def extract_transcripts(
         n = repartition_to or df.sparkSession.sparkContext.defaultParallelism * 2
         src = src.repartition(n, F.col("conv_id"), salt)
         src = src.select("conv_id", "turn_idx", "text")
+    elif repartition_to:
+        # unsalted but an explicit width was requested: honor it with a
+        # round-robin exchange (salt_buckets=None + repartition_to=None
+        # remains the zero-shuffle narrow mode for size-balanced scans)
+        src = src.repartition(repartition_to)
     fn = functools.partial(extract_batch, use_adaptive=use_adaptive)
     out = src.mapInArrow(fn, OUT_SCHEMA)
     if add_turn_seq:

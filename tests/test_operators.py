@@ -115,6 +115,21 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
     assert all(abs(pref[k] - brute[k]) < 1e-9 for k in pref)
 
 
+def test_multimodal_oracle_ascii_assumption(spark):
+    """The frame/meta DuckDB oracles slice characters and pin the
+    octet-stream kind; both are valid only while the corpus is pure
+    ASCII with no sniffable magic prefix — pin that here."""
+    from opencv_table_extraction_spark.operators.multimodal import sniff_kind
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    non_ascii = d.where(
+        F.octet_length(F.encode("text", "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0
+    kinds = {sniff_kind(r["text"].encode()) for r in d.select("text").collect()}
+    assert kinds == {"application/octet-stream"}
+
+
 def test_recognizer_seam_is_pluggable():
     from opencv_table_extraction_spark.kernel.router import Recognizer, transcribe
 
