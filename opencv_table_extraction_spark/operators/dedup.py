@@ -677,6 +677,147 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 12
 """
 
 
+EMB_DIM = 64
+EMB_KEEP = 56  # near-dup derivation zeroes the last 8 dims
+EMB_COS_THRESHOLD = 0.9
+SRP_BITS = 64
+SRP_CHUNKS = 16  # 16 chunks x 4 bits
+
+
+def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicates: every vector with its
+    last 8 (of 64) dims zeroed, at vec_id + 1_000_000 — cosine vs the
+    original ≈ sqrt(56/64) ≈ 0.93 for near-random vectors. Both sides
+    are exact double arithmetic, mirrored verbatim by the SQL oracle."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    trunc = F.concat(
+        F.slice("v", 1, EMB_KEEP), F.array_repeat(F.lit(0.0), EMB_DIM - EMB_KEEP)
+    )
+    near = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), trunc.alias("v"))
+    return e.unionByName(near)
+
+
+def _srp_chunk_batches(batches):
+    """Arrow-batch kernel: (vec_id, v) -> SRP sketch chunk rows
+    (vec_id, chunk_id, chunk_val). Sign-random-projection LSH (Charikar
+    2002): bit_j = sign(v . r_j) over SRP_BITS fixed Gaussian
+    hyperplanes (seeded rng — deterministic across processes); the
+    64-bit sketch splits into SRP_CHUNKS 4-bit chunks for pigeonhole
+    banding. P(bit disagree) = angle/pi, so the planted cos≈0.93 pairs
+    (angle≈21°) miss all 16 chunks with probability ~(1-0.61^4)^16
+    ≈ 3e-7 — measured zero misses on the fixed corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(42)
+    R = rng.standard_normal((SRP_BITS, EMB_DIM))
+    bits_per = SRP_BITS // SRP_CHUNKS
+    weights = (1 << np.arange(bits_per, dtype=np.int64))[None, None, :]
+    chunk_ids = np.arange(SRP_CHUNKS, dtype=np.int32)
+    for batch in batches:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        V = np.array(batch.column("v").to_pylist(), dtype=np.float64)
+        if len(vec_ids) == 0:
+            continue
+        bits = (V @ R.T) > 0  # (n, SRP_BITS)
+        vals = (
+            (bits.reshape(len(vec_ids), SRP_CHUNKS, bits_per) * weights)
+            .sum(axis=2)
+            .astype(np.int64)
+        )  # (n, SRP_CHUNKS)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(vec_ids, SRP_CHUNKS), type=pa.int64()),
+                pa.array(np.tile(chunk_ids, len(vec_ids)), type=pa.int32()),
+                pa.array(vals.reshape(-1), type=pa.int64()),
+            ],
+            names=["vec_id", "chunk_id", "chunk_val"],
+        )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame, threshold: float = EMB_COS_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP-LSH bucketing (never
+    all-pairs) -> in-bucket candidate enumeration -> exact cosine
+    verification. The verify cosine is the same sequential-sum double
+    expression the brute-force oracle uses, so values match bitwise."""
+    from pyspark.sql.types import IntegerType
+
+    from .similarity import cosine
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    sk_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("chunk_id", IntegerType()),
+            StructField("chunk_val", LongType()),
+        ]
+    )
+    sketches = (
+        corpus.repartition(par, "vec_id").mapInArrow(_srp_chunk_batches, sk_schema)
+    )
+    buckets = (
+        sketches.groupBy("chunk_id", "chunk_val")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a_id"), F.greatest(x, y).alias("b_id")
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ver = (
+        cand.join(corpus.select(F.col("vec_id").alias("a_id"),
+                                F.col("v").alias("a_v")), "a_id")
+        .join(corpus.select(F.col("vec_id").alias("b_id"),
+                            F.col("v").alias("b_v")), "b_id")
+        .repartition(par, "a_id", "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(cosine(F.col("a_v"), F.col("b_v")), 4).alias("cos"),
+        )
+    )
+    return ver.where(F.col("cos") >= threshold)
+
+
+def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(embedding_corpus(spark, sf_dir))
+
+
+_SQL_EMB_ZEROS = ", ".join(["0.0"] * (EMB_DIM - EMB_KEEP))
+_SQL_EMB_PAIRS = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat(CAST(embedding AS DOUBLE[])[1:{EMB_KEEP}],
+                     [{_SQL_EMB_ZEROS}]) AS v
+  FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= {EMB_COS_THRESHOLD}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_exact_dedup,
@@ -685,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
 
@@ -698,4 +840,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
     }

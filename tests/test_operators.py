@@ -115,6 +115,38 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
     assert all(abs(pref[k] - brute[k]) < 1e-9 for k in pref)
 
 
+def test_embedding_cosine_pairs_finds_planted(spark):
+    """SRP-LSH must surface the planted (i, i+1M) truncation pairs whose
+    exact cosine clears the threshold — candidate recall through the
+    16x4-bit pigeonhole banding, verified end to end."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        EMB_COS_THRESHOLD,
+        embedding_corpus,
+        embedding_cosine_pairs,
+    )
+    from opencv_table_extraction_spark.operators.similarity import cosine
+
+    corpus = embedding_corpus(spark, SF)
+    pairs = {(r["a_id"], r["b_id"]): r["cos"]
+             for r in embedding_cosine_pairs(corpus).collect()}
+    # ground truth for the planted family only (cheap: n rows, not n^2)
+    a = corpus.where(F.col("vec_id") < 1_000_000).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"))
+    b = corpus.where(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - 1_000_000).alias("a_id"), F.col("v").alias("b_v"))
+    truth = {
+        r["a_id"]: r["c"]
+        for r in a.join(b, "a_id")
+        .select("a_id", F.round(cosine(F.col("a_v"), F.col("b_v")), 4).alias("c"))
+        .collect()
+    }
+    expected = {i for i, c in truth.items() if c >= EMB_COS_THRESHOLD}
+    assert expected, "corpus should plant qualifying pairs"
+    found = {i for (i, j) in pairs if j == i + 1_000_000}
+    assert expected <= found
+    assert all(pairs[(i, i + 1_000_000)] == truth[i] for i in expected)
+
+
 def test_multimodal_oracle_ascii_assumption(spark):
     """The frame/meta DuckDB oracles slice characters and pin the
     octet-stream kind; both are valid only while the corpus is pure
