@@ -24,13 +24,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from opencv_table_extraction_spark.session import build_session  # noqa: E402
-from opencv_table_extraction_spark.sources import SnapshotCatalog, run_resumable  # noqa: E402
+from opencv_table_extraction_spark.sources import (  # noqa: E402
+    IcebergSnapshotCatalog,
+    SnapshotCatalog,
+    has_iceberg_runtime,
+    run_resumable,
+)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcripts parquet path")
     ap.add_argument("--output", required=True, help="snapshot catalog root")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="bind data/lineage writes to this Iceberg table "
+                         "(requires the iceberg-spark-runtime jar; the "
+                         "manifest bookkeeping stays under --output)")
     ap.add_argument("--buckets", type=int, default=256,
                     help="conv buckets (commit granularity)")
     ap.add_argument("--max-buckets", type=int, default=None,
@@ -45,7 +54,15 @@ def main() -> None:
         master=f"local[{args.local}]" if args.local else None,
         shuffle_partitions=args.local or None,
     )
-    cat = SnapshotCatalog(args.output, n_buckets=args.buckets)
+    if args.iceberg_table:
+        if not has_iceberg_runtime(spark):
+            sys.exit("--iceberg-table requires the iceberg-spark-runtime "
+                     "jar on the session classpath")
+        cat: SnapshotCatalog = IcebergSnapshotCatalog(
+            spark, args.iceberg_table, args.output, n_buckets=args.buckets
+        )
+    else:
+        cat = SnapshotCatalog(args.output, n_buckets=args.buckets)
     df = spark.read.parquet(args.input)
     result = run_resumable(
         spark, df, cat, max_buckets=args.max_buckets, salt_buckets=args.salt

@@ -99,7 +99,8 @@ def main() -> int:
             print("  spark :", a.loc[idx].to_dict())
             print("  duckdb:", b.loc[idx].to_dict())
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    n_ran = len([q for q in qs if not only or q in only])
+    print(f"\n{n_ran - len(failures)}/{n_ran} queries OK")
     spark.stop()
     return 1 if failures else 0
 

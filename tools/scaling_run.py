@@ -6,7 +6,8 @@ proxy is the SAME job on the SAME input at local[8] and local[32]
 (BASELINE.md "Bench protocol"). Each level runs in a fresh subprocess
 (fresh JVM — no warm-executor bleed), 1 warmup + 3 timed runs, median.
 
-Writes BENCH/BASELINE.md and prints a JSON summary.
+Writes BENCH/last_run.md (raw) and prints a JSON summary; the curated
+multi-run record lives in BENCH/BASELINE.md (hand-maintained).
 
 Usage: python tools/scaling_run.py [--turns 120000] [--runs 3]
 """
@@ -126,6 +127,10 @@ def main() -> None:
                     help="alternate fresh-JVM runs of the two levels "
                          "(fair under drifting ambient load); one timed "
                          "run per JVM, --runs JVMs per level")
+    ap.add_argument("--quiet-load", type=float, default=1.5,
+                    help="block each sample until 1-min loadavg <= this "
+                         "(shared host: ~1.4 ambient cores measurably "
+                         "depress the wide level's efficiency)")
     args = ap.parse_args()
 
     from opencv_table_extraction_spark.fixtures.gen import write_fixture
@@ -160,7 +165,7 @@ def main() -> None:
         loads = []
         for _ in range(args.runs):
             for acc, cpus in ((lo, args.low), (hi, args.high)):
-                loads.append(round(wait_for_quiet(), 2))
+                loads.append(round(wait_for_quiet(args.quiet_load), 2))
                 r = run_level(cpus, fixture, 1, narrow=args.narrow)
                 acc["walls"].extend(r["walls"])
                 acc["n_turns"] = r["n_turns"]
@@ -191,8 +196,10 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     skew = hi["skew"]
     ratio = (skew["max_part_ms"] / skew["median_part_ms"]) if skew["median_part_ms"] else 0
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured (scaling protocol of BASELINE.md)
+    # raw per-run dump; BENCH/BASELINE.md is the hand-curated record of
+    # all protocol executions and must not be clobbered by one run
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as f:
+        f.write(f"""# BENCH/last_run — measured (scaling protocol of BASELINE.md)
 
 Fixture: deterministic generated transcripts (seed=42, skew monster
 included), {n} turns. Same input, same job (salted kernel extraction +
