@@ -183,8 +183,67 @@ def dilate(bin_img: np.ndarray, se: tuple[int, int], reflect: bool = False) -> n
 def morph_open(bin_img: np.ndarray, se: tuple[int, int]) -> np.ndarray:
     """Opening = erode by SE, dilate by the *reflected* SE — the textbook
     definition; the reflection only matters for even SE sizes, where it
-    keeps surviving runs at their exact original position."""
+    keeps surviving runs at their exact original position.
+
+    Sparse fast path for 1-D SEs (the h/v line extractions): a row can
+    survive opening by a (1, k) SE only if it holds >= ceil(k/2) ink
+    pixels — an interior erosion window needs k consecutive ink, and a
+    border window still needs its k - k//2 in-image positions inked
+    (out-of-image counts as 255). Rows under that count map to all-zero
+    output EXACTLY and are skipped. On rendered tables only the
+    ~2*(n_rows+1) actual line rows qualify (every other row carries just
+    the n_cols+1 vertical-line crossings), cutting the van Herk passes
+    ~8-25x. Columns symmetric for (k, 1)."""
+    kh, kw = se
+    if kh == 1 and kw > 1:
+        # min(·, W): when the row is narrower than the SE, both borders
+        # pad the erosion window, so a full-ink row of ANY width survives
+        thresh = min((kw + 1) // 2, bin_img.shape[1])
+        rows = np.flatnonzero(np.count_nonzero(bin_img, axis=1) >= thresh)
+        if rows.size < bin_img.shape[0]:
+            out = np.zeros_like(bin_img)
+            if rows.size:
+                out[rows] = _open_1d_runs(bin_img[rows], kw)
+            return out
+        return _open_1d_runs(bin_img, kw)
+    if kw == 1 and kh > 1:
+        thresh = min((kh + 1) // 2, bin_img.shape[0])
+        cols = np.flatnonzero(np.count_nonzero(bin_img, axis=0) >= thresh)
+        if cols.size < bin_img.shape[1]:
+            out = np.zeros_like(bin_img)
+            if cols.size:
+                out[:, cols] = _open_1d_runs(bin_img[:, cols].T, kh).T
+            return out
+        return np.ascontiguousarray(_open_1d_runs(bin_img.T, kh).T)
     return dilate(erode(bin_img, se), se, reflect=True)
+
+
+def _open_1d_runs(bin_img: np.ndarray, k: int) -> np.ndarray:
+    """1-D opening along rows as pure run-length logic: a pixel survives
+    iff its ink run has (border-extended) length >= k.
+
+    Equivalence to erode(pad 255) + dilate(reflected SE, pad 0): erosion
+    of a run [a, b] leaves [a+l, b-r]; the reflected dilation expands it
+    by (r, l) — exactly back to [a, b]. The 255-padding is a virtual
+    extension of border-touching runs by l on the left / r on the right.
+    So opening keeps whole runs with extended length >= k and nothing
+    else. Two accumulates (nearest zero before/after each pixel) instead
+    of erode+dilate's four, and no pad/reshape allocations.
+    """
+    l, r = (k - 1) // 2, k // 2
+    H, W = bin_img.shape
+    f = bin_img != 0
+    idx = np.arange(W, dtype=np.int32)
+    last_zero = np.maximum.accumulate(np.where(f, np.int32(-1), idx), axis=1)
+    next_zero = np.minimum.accumulate(
+        np.where(f, np.int32(W), idx)[:, ::-1], axis=1
+    )[:, ::-1]
+    eff = next_zero - last_zero - 1
+    eff += np.where(last_zero == -1, np.int32(l), np.int32(0))
+    eff += np.where(next_zero == W, np.int32(r), np.int32(0))
+    out = np.zeros((H, W), dtype=np.uint8)
+    out[f & (eff >= k)] = 255
+    return out
 
 
 def morph_open_h(bin_img: np.ndarray, scale: int = 20, min_k: int = 9) -> np.ndarray:

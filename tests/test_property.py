@@ -48,6 +48,21 @@ def test_open_idempotent(img, k):
     assert np.array_equal(morph_open(once, (1, k)), once)
 
 
+@settings(max_examples=120, deadline=None)
+@given(masks, st.integers(2, 9))
+def test_open_run_path_equals_erode_dilate(img, k):
+    """The run-length 1-D opening fast path must equal the erode +
+    reflected-dilate composition bit for bit, both axes."""
+    from opencv_table_extraction_spark.kernel.imaging import dilate, erode
+
+    got_h = morph_open(img, (1, k))
+    ref_h = dilate(erode(img, (1, k)), (1, k), reflect=True)
+    assert np.array_equal(got_h, ref_h)
+    got_v = morph_open(img, (k, 1))
+    ref_v = dilate(erode(img, (k, 1)), (k, 1), reflect=True)
+    assert np.array_equal(got_v, ref_v)
+
+
 @settings(max_examples=40, deadline=None)
 @given(arrays(np.uint8, st.tuples(st.integers(2, 30), st.integers(2, 30)),
               elements=st.integers(0, 255)))
