@@ -156,10 +156,71 @@ FROM documents
 """
 
 
+FEATURE_BINS = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature_csv", StringType()),
+    ]
+)
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic feature extraction over the opaque binary payload:
+    a 16-bin histogram of the byte high-nibbles (np.bincount — the
+    vectorized stand-in for a real content featurizer; a deployment
+    swaps the histogram for decode_image + a model forward pass, the
+    Arrow plumbing and schema stay). Emitted as CSV so the driver
+    canonicalizer can hash it (list columns are unhashable there)."""
+    import numpy as np
+
+    for pdf in batches:
+        feats, sizes = [], []
+        for payload in pdf["payload"]:
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            hist = np.bincount(b >> 4, minlength=FEATURE_BINS)
+            feats.append(",".join(str(int(x)) for x in hist))
+            sizes.append(len(b))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pd.Series(sizes, dtype="int32", index=pdf.index),
+                "feature_csv": pd.Series(feats, dtype="object", index=pdf.index),
+            }
+        )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+# exact oracle: same high-nibble histogram in DuckDB list algebra (ASCII
+# corpus — ord == byte; pinned by test_multimodal_oracle_ascii_assumption)
+_SQL_FEATURES = rf"""
+WITH chars AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         regexp_extract_all(text, '[\s\S]') AS cs
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bytes AS INT) AS n_bytes,
+       array_to_string(
+         list_transform(range(0, {FEATURE_BINS}),
+           b -> CAST(len(list_filter(cs, c -> ord(c) // 16 = b)) AS VARCHAR)),
+         ',') AS feature_csv
+FROM chars
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_binary_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_feature_extract": _q_multimodal_features,
     }
 
 
@@ -167,4 +228,5 @@ def oracle_sql() -> dict[str, str]:
     return {
         "multimodal_binary_meta": _SQL_META,
         "multimodal_frame_sample": _SQL_FRAMES,
+        "multimodal_feature_extract": _SQL_FEATURES,
     }
