@@ -33,6 +33,21 @@ def test_oracle_matches_generator_truth(fixture_tables):
             assert got[key][k] == g[k], (key, k)
 
 
+def test_adaptive_threshold_equals_otsu_on_fixture(fixture_tables):
+    """The adaptive (integral-image mean-C) branch must recover the
+    identical text/route/counters on the whole fixture mix — including
+    the noisy scan family — that the Otsu default recovers. (The Spark
+    driver additionally certifies this via extract_tables_adaptive.)"""
+    transcripts, truth, _ = fixture_tables
+    out = run_oracle(transcripts, use_adaptive=True)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.to_pylist()}
+    for t in truth.to_pylist():
+        key = (t["conv_id"], t["turn_idx"])
+        assert got[key]["extracted_text"] == t["expected_text"], key
+        assert got[key]["route"] == t["route"], key
+        assert got[key]["err"] == "", (key, got[key]["err"])
+
+
 def test_generator_is_deterministic():
     a, at, _ = gen_tables(150, seed=42, skew=False)
     b, bt, _ = gen_tables(150, seed=42, skew=False)
