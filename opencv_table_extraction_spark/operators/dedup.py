@@ -470,6 +470,12 @@ def jaccard_prefix_pairs(
         .repartition(par, "doc_id")
         .mapInArrow(_shingle_rows_batches, sh_schema)
     )
+    # two consumers (the df count and the ordering join) would otherwise
+    # re-execute the scan+shingle kernel; materialize it once — the same
+    # record materialization Vernica et al. do between their MR stages
+    from pyspark import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
         ex.join(df_tbl, "shingle")
@@ -484,13 +490,15 @@ def jaccard_prefix_pairs(
     pre = ordered.select(
         "doc_id",
         F.size("osh").alias("sz"),
-        F.explode(F.slice(F.col("osh"), 1, plen)).alias("s"),
-    ).select("doc_id", "sz", F.col("s.shingle").alias("shingle"))
+        F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
+    ).select("doc_id", "sz", "pos", F.col("s.shingle").alias("shingle"))
     buckets = (
         pre.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ids"))
+        .agg(F.collect_list(F.struct("doc_id", "sz", "pos")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    # overlap floor for J >= t: o >= ceil(t/(1+t) * (|A|+|B|))
+    t_frac = t_eff / (1.0 + t_eff)
     pair_structs = F.flatten(
         F.transform(
             "ids",
@@ -502,10 +510,22 @@ def jaccard_prefix_pairs(
                         F.greatest(x["doc_id"], y["doc_id"]).alias("b_id"),
                         F.least(x["sz"], y["sz"]).alias("mn"),
                         F.greatest(x["sz"], y["sz"]).alias("mx"),
+                        # tokens at or after this shared one, per side
+                        F.least(x["sz"] - x["pos"], y["sz"] - y["pos"]).alias(
+                            "mn_rem"
+                        ),
                     ),
                 ),
-                # exact length-ratio filter: J >= t implies min >= t*max
-                lambda p: p["mn"] >= F.lit(t_eff) * p["mx"],
+                # two EXACT prunes (PPJoin family, Xiao et al.):
+                #  - length ratio: J >= t implies min >= t*max;
+                #  - positional: at the pair's FIRST shared prefix token
+                #    the remaining suffix bounds the overlap, so
+                #    min_rem < ceil(t/(1+t)*(szA+szB)) kills the pair
+                #    (later shared tokens may fail this test while the
+                #    first passes — OR-ing over tokens keeps exactness,
+                #    and every true match passes at its first token).
+                lambda p: (p["mn"] >= F.lit(t_eff) * p["mx"])
+                & (p["mn_rem"] >= F.ceil(F.lit(t_frac) * (p["mn"] + p["mx"]))),
             ),
         )
     )
