@@ -414,6 +414,84 @@ FROM events GROUP BY user_id
 """
 
 
+def _q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (F.window — the same
+    construct a streaming job uses with a watermark; here certified in
+    batch against DuckDB time_bucket)."""
+    e = _read(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+_SQL_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets): per (event_type, day),
+    per event_type, and grand total in one pass."""
+    e = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "cnt",
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS cnt
+FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def _q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x part broadcast join on the part dimension: revenue by
+    part type prefix (the remaining TPC-H-ish dim table)."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_type", " ").getItem(0).alias("type_prefix")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("type_prefix")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_SQL_PART_TYPE = r"""
+SELECT string_split(p_type, ' ')[1] AS type_prefix,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams: explode + hash-agg + top-k —
     the classic distributed n-gram frequency pipeline."""
@@ -469,7 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": _q_union_distinct,
         "event_type_stats": _q_event_stats,
         "event_sessionize": _q_sessionize,
+        "event_tumbling_counts": _q_event_tumbling,
+        "event_rollup_counts": _q_event_rollup,
         "user_event_timeline": _q_user_timeline,
+        "part_type_revenue": _q_part_type_revenue,
         "top_bigrams": _q_top_bigrams,
     }
     q.update(ts.queries())
@@ -496,7 +577,10 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct_nations": _SQL_UNION,
         "event_type_stats": _SQL_EVENTS,
         "event_sessionize": _SQL_SESSIONS,
+        "event_tumbling_counts": _SQL_TUMBLING,
+        "event_rollup_counts": _SQL_ROLLUP,
         "user_event_timeline": _SQL_TIMELINE,
+        "part_type_revenue": _SQL_PART_TYPE,
         "top_bigrams": _SQL_BIGRAMS,
     }
     o.update(ts.oracle_sql())
