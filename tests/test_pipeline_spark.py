@@ -99,6 +99,33 @@ def test_resumable_restart_equals_single_run(spark, fixture_dir, tmp_path, extra
     assert {r["snapshot_id"] for r in lin.collect()} == {1, 2}
 
 
+def test_crash_between_write_and_commit_recovers(spark, fixture_dir, tmp_path):
+    """The documented crash window: data lands, manifest commit never
+    happens. The rerun must reprocess those buckets into overwritten
+    (idempotent) directories and converge to the single-run result with
+    no duplicate lineage."""
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    cat = SnapshotCatalog(str(tmp_path / "cat"), n_buckets=4)
+
+    real_commit = cat.commit
+    def crash(buckets):
+        raise RuntimeError("simulated crash after write, before commit")
+    cat.commit = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(spark, df, cat)
+    assert cat.committed_buckets() == set()  # nothing committed
+
+    cat.commit = real_commit
+    r = run_resumable(spark, df, cat)  # rerun sees all buckets as todo
+    assert sorted(r["buckets"]) == [0, 1, 2, 3]
+    assert cat.read_output(spark).count() == df.count()
+    lin = cat.read_lineage(spark)
+    assert lin.groupBy("snapshot_id", "partition_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    assert lin.agg(F.sum("n_turns")).collect()[0][0] == df.count()
+
+
 def test_lineage_idempotent_and_conf_restored(spark, fixture_dir, tmp_path):
     """Re-writing a snapshot's data+lineage (the crash-between-write-and-
     commit retry) must not duplicate lineage rows, and the global
