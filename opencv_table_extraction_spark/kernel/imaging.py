@@ -233,14 +233,18 @@ def _open_1d_runs(bin_img: np.ndarray, k: int) -> np.ndarray:
     l, r = (k - 1) // 2, k // 2
     H, W = bin_img.shape
     f = bin_img != 0
-    idx = np.arange(W, dtype=np.int32)
-    last_zero = np.maximum.accumulate(np.where(f, np.int32(-1), idx), axis=1)
+    # int16 index math: canvases are capped at MAX_CANVAS=2400 px, and
+    # the accumulate passes are memory-bandwidth-bound, so halving the
+    # element width is a direct win (int32 fallback for giant inputs)
+    dt = np.int16 if W + k < 32000 else np.int32
+    idx = np.arange(W, dtype=dt)
+    last_zero = np.maximum.accumulate(np.where(f, dt(-1), idx), axis=1)
     next_zero = np.minimum.accumulate(
-        np.where(f, np.int32(W), idx)[:, ::-1], axis=1
+        np.where(f, dt(W), idx)[:, ::-1], axis=1
     )[:, ::-1]
     eff = next_zero - last_zero - 1
-    eff += np.where(last_zero == -1, np.int32(l), np.int32(0))
-    eff += np.where(next_zero == W, np.int32(r), np.int32(0))
+    eff += np.where(last_zero == -1, dt(l), dt(0))
+    eff += np.where(next_zero == W, dt(r), dt(0))
     out = np.zeros((H, W), dtype=np.uint8)
     out[f & (eff >= k)] = 255
     return out
