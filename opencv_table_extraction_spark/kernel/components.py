@@ -181,7 +181,7 @@ def detect_cells(
     sanity. Returns int64 (n_cells, 4) rects (x, y, w, h) in stats order.
     """
     H, W = grid.shape
-    inv = np.where(grid == 0, 255, 0).astype(np.uint8)
+    inv = np.where(grid == 0, np.uint8(255), np.uint8(0))
     _, _, stats = connected_components(inv)
     if stats.size == 0:
         return np.empty((0, 4), np.int64)

@@ -72,7 +72,8 @@ def otsu_threshold(gray: np.ndarray) -> tuple[int, np.ndarray]:
     valid = denom > 1e-12
     sigma_b[valid] = (mu_t * omega[valid] - mu[valid]) ** 2 / denom[valid]
     thr = int(np.argmax(sigma_b))
-    binary = np.where(gray <= thr, 255, 0).astype(np.uint8)
+    # uint8 scalars keep np.where in uint8 — no int64 temp + cast pass
+    binary = np.where(gray <= thr, np.uint8(255), np.uint8(0))
     return thr, binary
 
 
@@ -104,7 +105,7 @@ def adaptive_threshold(
     s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
     cnt = (y1 - y0) * (x1 - x0)
     mean = s / cnt
-    return np.where(inv > mean - C, 255, 0).astype(np.uint8)
+    return np.where(inv > mean - C, np.uint8(255), np.uint8(0))
 
 
 def _running_extremum_1d(
