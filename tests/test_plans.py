@@ -84,6 +84,29 @@ def test_lsh_band_rows_shuffle_only_keys(spark):
         assert not re.search(r"\bsh#", input_line), blk
 
 
+def test_prefix_join_no_cache_and_single_scan(spark):
+    """jaccard_prefix_pairs must not persist its shingle explosion (the
+    r2 cache leak / 100-TB memory cliff): no InMemoryRelation anywhere,
+    and the corpus scan feeds both consumers through ONE reused exchange
+    (ReusedExchange of the doc_id repartition in the executed plan)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        jaccard_prefix_pairs,
+    )
+
+    p = jaccard_prefix_pairs(dedup_corpus(spark, "/root/testdata/sf0.001"))
+    # collect() (not count()) so THIS DataFrame's QueryExecution runs and
+    # its adaptive plan is finalized with runtime exchange reuse resolved
+    assert len(p.collect()) > 0
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "ReusedExchange" in plan
+    # and the session gained no lingering cached RDDs
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty(), "prefix join leaked a cache"
+
+
 def test_kernel_stage_not_coalesced_to_one_task(spark, fixture_dir):
     """The CPU-bound kernel repartition carries an explicit count, so
     AQE must not collapse it to a single task (the 1-task regression the
