@@ -126,13 +126,19 @@ WHERE rn = 1
 
 # Planted expected value, anchored to the sf0.01 correctness corpus the
 # driver grades at: ivf_search(n_probe=2, k-means 2 iters) deterministically
-# finds 9 of the exact top-10 (verified stable across reruns; sf0.001 gives
-# 10/10). k-means bucketing is not SQL-expressible, so the oracle pins the
-# DETERMINISTIC OUTCOME rather than re-deriving it — any regression in the
-# codebook math, assignment, or probe logic flips this row red.
+# finds 9 of the exact top-10 — and exactly WHICH 9 is pinned too (the
+# sorted found-id CSV, verified stable across reruns), so the row cannot
+# be satisfied accidentally by a different neighbor set with equal
+# count. k-means bucketing is not SQL-expressible, so the oracle pins
+# the DETERMINISTIC OUTCOME rather than re-deriving it. Valid ONLY at
+# sf0.01 (sf0.001 gives 10/10) — tools/check_queries.py skips the row
+# with a logged reason at any other scale factor.
 _SQL_IVF_RECALL = """
-SELECT 10 AS k, 9 AS n_found, 0.9 AS recall
+SELECT 10 AS k, 9 AS n_found, 0.9 AS recall,
+       '7,73,190,320,334,365,387,388,423' AS found_ids_csv
 """
+# scale factors where the planted constant above is anchored
+IVF_RECALL_ORACLE_SF = ("sf0.01",)
 
 
 def kmeans_centroids(
@@ -236,18 +242,30 @@ def _q_ivf_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-k, both computed in Spark. The oracle is the
     planted expected value — the pipeline is deterministic end-to-end
     (decimal k-means means, tie-broken argmax, fixed corpus), so the
-    recall at sf0.01 is a constant the driver can hash-match; a change
-    in kernel, codebook math, or probe logic that hurts recall flips
-    the row red."""
+    outcome at sf0.01 is a constant the driver can hash-match; a change
+    in kernel, codebook math, or probe logic flips the row red. The row
+    pins the ACTUAL found id set (sorted CSV), not just its count, so a
+    regression that swaps which neighbors are found cannot slip through
+    a coincidentally-equal recall."""
     brute = _q_embedding_topk(spark, sf_dir).select("vec_id")
     ivf = ivf_search(spark, sf_dir).select("vec_id")
     return (
         ivf.join(brute, "vec_id", "left_semi")
-        .agg(F.count("*").alias("n_found"))
+        .agg(
+            F.count("*").alias("n_found"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("found_ids_csv"),
+        )
         .select(
             F.lit(TOP_K).alias("k"),
             F.col("n_found").cast("int").alias("n_found"),
             F.round(F.col("n_found") / F.lit(TOP_K), 4).alias("recall"),
+            "found_ids_csv",
         )
     )
 

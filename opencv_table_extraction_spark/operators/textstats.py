@@ -205,9 +205,20 @@ def _winnow_horner_sql(k: int = 8) -> str:
     return e
 
 
+# trim with an explicit ASCII-whitespace charset (chr-built so the raw
+# string stays readable): DuckDB's bare trim strips spaces only, so a
+# text edged with \t/\n would keep a leading/trailing space after the
+# \s+ -> ' ' regexp pass and shift every k-gram, while the Python
+# normalizer (' '.join(text.split())) strips all whitespace — this keeps
+# the two normalizations identical on any ASCII-whitespace text, not
+# just the space-edged corpus (pinned by
+# test_winnow_oracle_matches_on_edge_whitespace).
+_SQL_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
 _SQL_WINNOW = rf"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  SELECT doc_id,
+         regexp_replace(lower(trim(text, {_SQL_WS})), '\s+', ' ', 'g') AS s
   FROM documents),
 hashed AS (
   SELECT doc_id,

@@ -356,6 +356,43 @@ def test_corpus_whitespace_is_pinned_for_oracles(spark):
             assert all(_re.match(r"[ \t\n\r\f\v]", ch) for ch in t if ch.isspace())
 
 
+def test_winnow_oracle_matches_on_edge_whitespace(spark, tmp_path):
+    """The winnow DuckDB oracle must agree with the Spark query even for
+    texts edged with tabs/newlines (the r2 ADVICE divergence: DuckDB's
+    bare trim strips spaces only; the oracle now trims an explicit
+    ASCII-whitespace charset to match Python's .split() normalizer)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencv_table_extraction_spark.operators.textstats import (
+        _SQL_WINNOW,
+        _q_winnow,
+    )
+
+    texts = [
+        "\tthe quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog\n",
+        " mixed \t interior\nwhitespace  and  edges \t",
+        "plain space edged text for control ",
+        "short",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: (r["n_fingerprints"], r["fingerprints_csv"])
+           for r in _q_winnow(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {int(r[0]): (int(r[1]), r[2])
+            for r in con.execute(_SQL_WINNOW).fetchall()}
+    assert got == want
+
+
 def test_shingles_expression(spark):
     from opencv_table_extraction_spark.operators.dedup import shingles
 

@@ -55,11 +55,24 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from opencv_table_extraction_spark.operators.similarity import (
+        IVF_RECALL_ORACLE_SF,
+    )
+
+    # planted-constant oracles are anchored to a specific sf; at any
+    # other scale they would flip red as a false failure, so skip loudly
+    sf_anchored = {"sim_ivf_search_recall": IVF_RECALL_ORACLE_SF}
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in sf_anchored and sf_base not in sf_anchored[name]:
+            print(f"SKIP  {name:32s} planted oracle anchored to "
+                  f"{'/'.join(sf_anchored[name])}, not {sf_base}")
             continue
         t0 = time.time()
         try:
