@@ -23,7 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from opencv_table_extraction_spark.session import build_session  # noqa: E402
+from opencv_table_extraction_spark.session import (  # noqa: E402
+    build_session,
+    tune_scan_for_cpu_bound,
+)
 from opencv_table_extraction_spark.sources import (  # noqa: E402
     IcebergSnapshotCatalog,
     SnapshotCatalog,
@@ -47,6 +50,14 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16, help="salt buckets per conv")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] instead of deferring to spark-submit")
+    ap.add_argument("--cpu-bound-scan", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="size file splits for the CPU-bound kernel "
+                         "(small maxPartitionBytes/openCost so a "
+                         "many-small-file input doesn't bin-pack into "
+                         "byte-balanced but work-skewed 10x-straggler "
+                         "splits); --no-cpu-bound-scan restores Spark's "
+                         "byte-proportional defaults")
     args = ap.parse_args()
 
     spark = build_session(
@@ -54,6 +65,10 @@ def main() -> None:
         master=f"local[{args.local}]" if args.local else None,
         shuffle_partitions=args.local or None,
     )
+    if args.cpu_bound_scan:
+        # this job's scan feeds the image kernel narrowly: split by
+        # expected WORK, not bytes (the session is job-owned, no restore)
+        tune_scan_for_cpu_bound(spark)
     if args.iceberg_table:
         if not has_iceberg_runtime(spark):
             sys.exit("--iceberg-table requires the iceberg-spark-runtime "

@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["build_session", "tune_scan_for_cpu_bound", "ENGINE_CONFS"]
+__all__ = [
+    "build_session",
+    "tune_scan_for_cpu_bound",
+    "restore_confs",
+    "ENGINE_CONFS",
+]
 
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
@@ -30,7 +35,7 @@ ENGINE_CONFS: dict[str, str] = {
 
 def tune_scan_for_cpu_bound(
     spark: SparkSession, max_partition_mb: int = 4, open_cost_kb: int = 512
-) -> None:
+) -> dict[str, str | None]:
     """Size file splits for a CPU-bound map over the scan.
 
     Spark's file reader bin-packs small files by BYTES (128MB splits +
@@ -38,12 +43,31 @@ def tune_scan_for_cpu_bound(
     IO, a packed split becomes a 10x straggler: bytes are the wrong
     proxy for work. Call this before reading a many-small-file table
     that feeds the kernel narrowly (no pre-shuffle); leave defaults for
-    ordinary relational scans, where bytes ~ work.
+    ordinary relational scans, where bytes ~ work. The production job
+    (jobs/extract.py) applies this by default (--no-cpu-bound-scan to
+    opt out).
+
+    Returns the previous conf values so a shared session can restore
+    them (pass the returned dict to ``restore_confs``).
     """
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes", str(max_partition_mb * 1024 * 1024)
-    )
-    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost_kb * 1024))
+    keys = {
+        "spark.sql.files.maxPartitionBytes": str(max_partition_mb * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(open_cost_kb * 1024),
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in keys.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return prev
+
+
+def restore_confs(spark: SparkSession, prev: dict[str, str | None]) -> None:
+    """Undo a tune_* call on a shared session (None -> unset)."""
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def build_session(

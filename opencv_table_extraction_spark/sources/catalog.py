@@ -149,6 +149,16 @@ class IcebergSnapshotCatalog(SnapshotCatalog):
     The committed-bucket manifest stays in the JSON bookkeeping file:
     Iceberg's own snapshot log tracks table versions, but WHICH conv
     buckets a snapshot covered is engine metadata, not table metadata.
+
+    First write against a fresh catalog CREATES the table (and the
+    ``_lineage`` side table): ``overwritePartitions`` throws on a
+    missing target, so ``_write_partitioned`` falls back to
+    ``partitionedBy(col).using("iceberg").create()``. Equivalent DDL if
+    you pre-create instead::
+
+        CREATE TABLE <table> (...) USING iceberg PARTITIONED BY (bucket);
+        CREATE TABLE <table>_lineage (...) USING iceberg
+            PARTITIONED BY (snapshot_id);
     """
 
     def __init__(
@@ -158,11 +168,22 @@ class IcebergSnapshotCatalog(SnapshotCatalog):
         self.spark = spark
         self.table = table
 
+    def _write_partitioned(self, df: DataFrame, table: str, part_col: str) -> None:
+        """Dynamic overwrite, creating the partitioned table on first
+        write (tableExists probes the catalog; a concurrent first-writer
+        race falls through to the overwrite path's own error)."""
+        if self.spark.catalog.tableExists(table):
+            df.writeTo(table).overwritePartitions()
+        else:
+            df.writeTo(table).partitionedBy(F.col(part_col)).using(
+                "iceberg"
+            ).create()
+
     def write_data(self, out: DataFrame) -> None:
-        out.writeTo(self.table).overwritePartitions()
+        self._write_partitioned(out, self.table, "bucket")
 
     def write_lineage(self, lineage: DataFrame) -> None:
-        lineage.writeTo(f"{self.table}_lineage").overwritePartitions()
+        self._write_partitioned(lineage, f"{self.table}_lineage", "snapshot_id")
 
     def read_output(self, spark: SparkSession, snapshot_id: int | None = None):
         reader = spark.read.format("iceberg")

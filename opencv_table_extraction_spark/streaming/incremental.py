@@ -21,7 +21,9 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -40,6 +42,69 @@ TRANSCRIPT_SCHEMA = StructType(
         StructField("ts", TimestampType()),
     ]
 )
+
+# the events table's shape (TESTDATA.md) — used by the watermarked
+# streaming aggregation below
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> None:
+    """Watermarked event-time tumbling-window aggregation, streaming form
+    of the batch ``event_tumbling_counts`` query (same F.window + agg
+    expressions, certified against DuckDB time_bucket in batch; the test
+    asserts the streaming rows equal the batch rows for every finalized
+    window).
+
+    Semantics: append mode emits a window only once its end falls behind
+    the watermark (max event time seen in a PRIOR micro-batch minus the
+    delay) — late rows inside the delay still count, later ones are
+    dropped. With availableNow the last batch's windows may stay pending
+    until a future run advances the watermark past them; the stream
+    checkpoint carries both the watermark and the window state across
+    restarts."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_incremental(

@@ -2,11 +2,28 @@
 
 ``assemble_conversations`` incrementally builds per-conversation
 transcripts from a stream of turns: each micro-batch folds its turns
-into per-conv_id GroupState (turn count + assembled text), and emits the
-conversation's updated snapshot. State lives in the stream checkpoint's
-state store, so a restarted job (availableNow re-run after new files
-land) CONTINUES each conversation instead of starting over — the
-property the test pins.
+into per-conv_id GroupState and emits the conversation's NEW text as a
+delta row. State lives in the stream checkpoint's state store, so a
+restarted job (availableNow re-run after new files land) CONTINUES each
+conversation instead of starting over — the property the test pins.
+
+Scale design (r2 verdict #6):
+  * the fold is fully vectorized — pandas sort + column concat +
+    ``"\\n".join`` — no ``iterrows``/per-row Python;
+  * state is BOUNDED at O(1) per conversation: (n_turns, max_turn_idx,
+    total_chars). The assembled text itself is spilled to the SINK as
+    per-batch ``delta_text`` rows instead of being rewritten into the
+    state store every batch (the r2 shape grew state linearly with
+    conversation length for the stream's whole life). The full
+    transcript is the concatenation of a conversation's deltas in
+    cumulative ``n_turns`` order — an ordinary ordered aggregation over
+    the sink.
+  * cross-batch ordering assumption (documented, inherited from the
+    source): the file stream appends whole files in arrival order, so a
+    conversation's turns arrive in non-decreasing turn_idx across
+    batches; within a batch the fold sorts by turn_idx. A source that
+    interleaves out-of-order turns across batches needs an upstream
+    per-conv_id re-sort (or event-time watermarking) before this fold.
 
 This is the engine's template for custom stateful ops the built-in
 operators can't express (the spec itself needs none — `ts` is carried,
@@ -36,42 +53,44 @@ ASSEMBLED_SCHEMA = StructType(
         StructField("conv_id", StringType()),
         StructField("n_turns", LongType()),
         StructField("max_turn_idx", IntegerType()),
-        StructField("assembled_text", StringType()),
+        StructField("delta_text", StringType()),
+        StructField("total_chars", LongType()),
     ]
 )
 
+# O(1) per conversation — the assembled text is NOT stored here
 _STATE_SCHEMA = StructType(
     [
         StructField("n_turns", LongType()),
         StructField("max_turn_idx", IntegerType()),
-        StructField("assembled_text", StringType()),
+        StructField("total_chars", LongType()),
     ]
 )
 
 
 def _fold_conversation(key, pdfs, state: GroupState):
-    """Fold this batch's turns for one conv_id into the running state and
-    emit the updated snapshot. Turns are folded in (turn_idx) order
-    within the batch; cross-batch order is arrival order (the source
-    appends whole files, so turn_idx order is preserved end to end)."""
+    """Fold this batch's turns for one conv_id (vectorized) and emit the
+    batch's delta snapshot. State carries only cumulative counters."""
     (conv_id,) = key
-    n_turns, max_idx, text = (
-        state.get if state.exists else (0, -1, "")
+    n_turns, max_idx, total_chars = (
+        state.get if state.exists else (0, -1, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
-        for _, row in pdf.iterrows():
-            piece = f"{row['role']}: {row['text']}"
-            text = f"{text}\n{piece}" if text else piece
-            n_turns += 1
-            max_idx = max(max_idx, int(row["turn_idx"]))
-    state.update((n_turns, max_idx, text))
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("turn_idx")
+    pieces = pdf["role"].astype(str) + ": " + pdf["text"].astype(str)
+    delta = "\n".join(pieces)
+    # +1 per piece for the joining newline (including the one that glues
+    # this delta to the previous one when n_turns > 0)
+    total_chars += int(pieces.str.len().sum()) + len(pdf) - (n_turns == 0)
+    n_turns += len(pdf)
+    max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    state.update((n_turns, max_idx, total_chars))
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
             "n_turns": [n_turns],
             "max_turn_idx": [max_idx],
-            "assembled_text": [text],
+            "delta_text": [delta],
+            "total_chars": [total_chars],
         }
     )
 
@@ -83,8 +102,9 @@ def assemble_conversations(
     checkpoint_dir: str | None = None,
 ) -> None:
     """availableNow pass over newly-appended turn files: per-conv_id
-    stateful fold (applyInPandasWithState), appending one snapshot row
-    per touched conversation per micro-batch to ``out_dir``."""
+    stateful fold (applyInPandasWithState), appending one delta row per
+    touched conversation per micro-batch to ``out_dir``. See the module
+    docstring for how to reassemble full transcripts from the deltas."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

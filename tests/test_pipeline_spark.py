@@ -201,3 +201,35 @@ def test_lineage_counts(spark, fixture_dir):
     assert total["t"] == df.count()
     truth = pq.read_table(f"{fixture_dir}/grid_truth.parquet")
     assert total["c"] == sum(truth.column("n_cells").to_pylist())
+
+
+def test_cpu_bound_scan_tuning_unpacks_small_files(spark, fixture_dir, tmp_path):
+    """A many-small-file input must not bin-pack into a handful of
+    byte-balanced (work-skewed) splits when it feeds the CPU-bound
+    kernel: tune_scan_for_cpu_bound — applied by default in
+    jobs/extract.py — must multiply the scan parallelism, and
+    restore_confs must put the shared session back (r2 verdict #4)."""
+    import os
+
+    from opencv_table_extraction_spark.session import (
+        restore_confs,
+        tune_scan_for_cpu_bound,
+    )
+
+    # 64 tiny files, the shape a conv-bucketed upstream writer produces
+    t = pq.read_table(f"{fixture_dir}/transcripts.parquet")
+    d = tmp_path / "many"
+    os.makedirs(d)
+    step = max(t.num_rows // 64, 1)
+    for i in range(64):
+        pq.write_table(t.slice(i * step, step), str(d / f"part-{i:03d}.parquet"))
+
+    before = spark.read.parquet(str(d)).rdd.getNumPartitions()
+    prev = tune_scan_for_cpu_bound(spark)
+    try:
+        after = spark.read.parquet(str(d)).rdd.getNumPartitions()
+    finally:
+        restore_confs(spark, prev)
+    restored = spark.read.parquet(str(d)).rdd.getNumPartitions()
+    assert after >= 2 * before and after >= 8, (before, after)
+    assert restored == before

@@ -12,6 +12,7 @@ from opencv_table_extraction_spark.fixtures.gen import gen_tables
 from opencv_table_extraction_spark.streaming import (
     assemble_conversations,
     run_incremental,
+    windowed_event_counts,
 )
 
 
@@ -39,6 +40,74 @@ def test_incremental_two_appends(spark, tmp_path):
     assert spark.read.parquet(str(out / "data")).count() == t1.num_rows + t2.num_rows
 
 
+def _events_table(rows):
+    """rows: (event_id, hour_offset_minutes, event_type, value)."""
+    base = datetime.datetime(2026, 1, 1)
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] % 3 for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+
+
+def test_watermarked_window_agg_matches_batch(spark, tmp_path):
+    """Streaming form of the batch-certified event_tumbling_counts
+    construct: availableNow + withWatermark + F.window. Every window the
+    stream finalizes (end <= watermark) must equal the batch aggregation
+    of the same files row-for-row, and all windows behind the
+    first-batch watermark must have been emitted."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    os.makedirs(src)
+    # f1: events across hours 0..5 (max ts 05:30); f2: hour 20 — its
+    # arrival pushes the watermark past all of f1's windows
+    f1 = [(i, 30 + 60 * (i % 5), "click" if i % 2 else "view", i) for i in range(20)]
+    f1.append((99, 5 * 60 + 30, "click", 1.5))
+    f2 = [(200 + i, 20 * 60 + 10 * i, "view", i) for i in range(3)]
+    pq.write_table(_events_table(f1), str(src / "f1.parquet"))
+    pq.write_table(_events_table(f2), str(src / "f2.parquet"))
+
+    windowed_event_counts(spark, str(src), str(out))
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    assert got, "stream emitted no finalized windows"
+
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in (
+            spark.read.parquet(str(src))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"),
+                "event_type", "cnt", "sum_value",
+            )
+            .collect()
+        )
+    }
+    # every emitted window matches the batch result exactly
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    # and every window fully behind the first batch's watermark
+    # (max f1 ts 05:30 - 1h delay = 04:30 -> window ends 01:00..04:00)
+    finalized = {k for k in batch if k[0] < "2026-01-01 04"}
+    assert finalized <= set(got), (finalized - set(got))
+
+
 def _turns_table(rows):
     ts = datetime.datetime(2026, 1, 1)
     return pa.table(
@@ -53,11 +122,21 @@ def _turns_table(rows):
     )
 
 
+def _assembled(rows, conv_id):
+    """Reassemble a conversation from its sink deltas (the operator's
+    documented contract: concatenate deltas in cumulative n_turns order)."""
+    deltas = sorted((r for r in rows if r["conv_id"] == conv_id),
+                    key=lambda r: r["n_turns"])
+    return "\n".join(r["delta_text"] for r in deltas)
+
+
 def test_stateful_assembly_continues_across_restarts(spark, tmp_path):
     """The applyInPandasWithState operator must CONTINUE per-conversation
     state across availableNow restarts (state lives in the checkpoint's
-    state store): the second run's snapshot extends the first run's
-    assembled text instead of starting over."""
+    state store): the second run's delta row carries the CUMULATIVE turn
+    count/char count — proof the state survived — while the assembled
+    text spills to the sink as per-batch deltas (state stays O(1) per
+    conversation; the r2 verdict's bounded-state fix)."""
     src = tmp_path / "src"
     out = tmp_path / "out"
     os.makedirs(src)
@@ -67,18 +146,23 @@ def test_stateful_assembly_continues_across_restarts(spark, tmp_path):
         str(src / "f1.parquet"),
     )
     assemble_conversations(spark, str(src), str(out))
-    snap1 = {r["conv_id"]: r for r in spark.read.parquet(str(out / "data")).collect()}
+    rows1 = spark.read.parquet(str(out / "data")).collect()
+    snap1 = {r["conv_id"]: r for r in rows1}
     assert snap1["a"]["n_turns"] == 2
-    assert snap1["a"]["assembled_text"] == "user: hi\nassistant: hello"
+    assert _assembled(rows1, "a") == "user: hi\nassistant: hello"
+    assert snap1["a"]["total_chars"] == len("user: hi\nassistant: hello")
     assert snap1["b"]["n_turns"] == 1
 
     pq.write_table(
         _turns_table([("a", 2, "user", "more")]), str(src / "f2.parquet")
     )
     assemble_conversations(spark, str(src), str(out))
-    rows = spark.read.parquet(str(out / "data")).collect()
-    latest_a = max((r for r in rows if r["conv_id"] == "a"),
+    rows2 = spark.read.parquet(str(out / "data")).collect()
+    latest_a = max((r for r in rows2 if r["conv_id"] == "a"),
                    key=lambda r: r["n_turns"])
-    assert latest_a["n_turns"] == 3
+    assert latest_a["n_turns"] == 3          # 2 (restored state) + 1 new
     assert latest_a["max_turn_idx"] == 2
-    assert latest_a["assembled_text"] == "user: hi\nassistant: hello\nuser: more"
+    assert latest_a["delta_text"] == "user: more"  # only the NEW turn
+    full = "user: hi\nassistant: hello\nuser: more"
+    assert _assembled(rows2, "a") == full
+    assert latest_a["total_chars"] == len(full)
