@@ -40,15 +40,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
     def mk(name):
         return lambda: qs[name](spark, sf_dir).count()
 
-    # NOTE: dedup_ngram_jaccard_pairs (brute-force pairwise) is the
-    # verifiable baseline, not a scale path — it runs in the sf0.01
-    # correctness gate but is deliberately excluded here; minhash-LSH is
-    # the at-scale near-dup operator.
+    # NOTE: dedup_ngram_jaccard_pairs (brute-force pairwise) and
+    # dedup_simhash_pairs (radius-12, 4-bit chunks — Theta(N^2)
+    # candidates by construction) are verification baselines, not scale
+    # paths — they run in the sf0.01 correctness gate but are
+    # deliberately excluded here; minhash-LSH, the prefix join, and the
+    # Manku-banded simhash are the at-scale near-dup operators.
     return {
         "extract_full_pipeline": q_extract_full,
         "extract_order_tables": mk("extract_order_tables"),
         "dedup_minhash_lsh_pairs": mk("dedup_minhash_lsh_pairs"),
         "dedup_jaccard_prefix_pairs": mk("dedup_jaccard_prefix_pairs"),
+        "dedup_simhash_pairs_scale": mk("dedup_simhash_pairs_scale"),
         "dedup_exact": mk("dedup_exact"),
         "sim_embedding_topk": mk("sim_embedding_topk"),
         "sim_ivf_assign": mk("sim_ivf_assign"),

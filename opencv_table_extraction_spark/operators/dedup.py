@@ -513,11 +513,16 @@ def jaccard_prefix_pairs(
     Pipeline: shingle -> df count -> (df, shingle)-sort -> prefix
     explode -> bucket pairs (ratio-filtered) -> exact Arrow verify.
 
-    ``max_bucket`` bounds the residual prefix buckets (count-first
-    exclusion, _bucket_ids); exactness holds whenever nothing is
-    dropped — any excluded bucket is surfaced on the result as
-    ``.dropped_buckets`` so the caller sees precisely where (and
-    whether) the no-false-negatives guarantee was traded for bound.
+    ``max_bucket`` bounds the prefix buckets for FREE: a bucket on
+    shingle s can never exceed s's document frequency, and df is already
+    computed and rides the ordered-shingle structs — so hot shingles are
+    excluded by a narrow filter on the exploded prefix rows, with zero
+    extra aggregation passes (unlike the LSH/SRP operators, which need
+    the count-first _bucket_ids pass because their bucket sizes aren't
+    known upstream). Exactness holds whenever nothing is dropped — any
+    excluded shingle is surfaced on the result as ``.dropped_buckets``
+    (shingle, df) so the caller sees precisely where (and whether) the
+    no-false-negatives guarantee was traded for bound.
     """
     from pyspark.sql.types import IntegerType, StringType
 
@@ -562,11 +567,22 @@ def jaccard_prefix_pairs(
         "doc_id",
         F.size("osh").alias("sz"),
         F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
-    ).select("doc_id", "sz", "pos", F.col("s.shingle").alias("shingle"))
+    ).select(
+        "doc_id", "sz", "pos",
+        F.col("s.shingle").alias("shingle"), F.col("s.df").alias("df"),
+    )
     # df-ascending prefixes already push hot shingles out of most
-    # prefixes; the cap bounds the residue (count-first, see _bucket_ids)
-    buckets, dropped = _bucket_ids(
-        pre, ["shingle"], F.struct("doc_id", "sz", "pos"), max_bucket
+    # prefixes; the df bound (bucket size <= df, already in hand) drops
+    # the residue with a narrow filter — no counting pass needed
+    dropped = (
+        df_tbl.where(F.col("df") > max_bucket)
+        .select("shingle", F.col("df").alias("n"))
+    )
+    buckets = (
+        pre.where(F.col("df") <= max_bucket)
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "sz", "pos")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
     # overlap floor for J >= t: o >= ceil(t/(1+t) * (|A|+|B|))
     t_frac = t_eff / (1.0 + t_eff)
