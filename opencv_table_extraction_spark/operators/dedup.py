@@ -738,6 +738,69 @@ SIMHASH_SCALE_HAMMING = 3
 SIMHASH_SCALE_CHUNKS = 4  # 4 chunks x 15 bits; exact recall <= 3
 
 
+def _simhash_batches(batches):
+    """Arrow-batch kernel: (doc_id, text) -> (doc_id, sh) — the EXACT
+    60-bit md5 simhash _SIMHASH_EXPR computes, ~100x cheaper: the JVM
+    expression is an interpreted HOF (md5 + 60 bit-votes per token,
+    measured ~1.6ms/doc, and a self-join evaluates it twice), while here
+    md5 runs in C (hashlib, memoized per batch vocabulary) and the
+    bit-vote fold is one NumPy matrix op per doc. Bit-equality with the
+    expression is pinned by test_simhash_kernel_matches_expression.
+
+    Tokenization mirrors split(trim(lower(text)), '\\s+') via
+    _jvm_tokens; token hash = first 15 hex chars of md5(utf-8 bytes),
+    like conv(substring(md5(w),1,15),16,10); votes count token
+    OCCURRENCES (no distinct), bit j set iff votes_j > 0."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    one = np.uint64(1)
+    cache: dict[str, int] = {}
+
+    def tok_hash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            cache[w] = h
+        return h
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = np.empty(len(doc_ids), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = _jvm_tokens((text or "").lower())
+            hs = np.fromiter(
+                (tok_hash(w) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            b = (hs[:, None] >> bits) & one  # (n_toks, 60)
+            votes = 2 * b.sum(axis=0, dtype=np.int64) - len(toks)
+            out[i] = int(((votes > 0).astype(np.uint64) << bits).sum())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids, type=pa.int64()),
+             pa.array(out, type=pa.int64())],
+            names=["doc_id", "sh"],
+        )
+
+
+def simhash_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh) via the Arrow kernel (the pairs operators' fast
+    path; the driver-certified dedup_simhash query keeps the pure JVM
+    expression, and a test pins the two bit-equal)."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sh", LongType())]
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        corpus.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(par, "doc_id")
+        .mapInArrow(_simhash_batches, schema)
+    )
+
+
 def simhash_chunk_rows(corpus: DataFrame, n_chunks: int) -> DataFrame:
     """(doc_id, sh, chunk_id, chunk_val) rows: each 60-bit simhash split
     into n_chunks equal-width chunks (width = 60 // n_chunks)."""
@@ -752,26 +815,49 @@ def simhash_chunk_rows(corpus: DataFrame, n_chunks: int) -> DataFrame:
         )
         for i in range(n_chunks)
     ]
-    return corpus.select("doc_id", simhash60("text").alias("sh")).select(
+    return simhash_rows(corpus).select(
         "doc_id", "sh", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("doc_id", "sh", "c.chunk_id", "c.chunk_val")
 
 
-def simhash_candidate_pairs(corpus: DataFrame, n_chunks: int) -> DataFrame:
-    """Distinct candidate (a_id, b_id, a_sh, b_sh) pairs from the chunk
-    self-join — exposed separately so tests/benchmarks can measure
+def simhash_candidate_pairs(
+    corpus: DataFrame, n_chunks: int, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Distinct candidate (a_id, b_id, a_sh, b_sh) pairs from chunk
+    bucketing — exposed separately so tests/benchmarks can measure
     candidate-set growth per banding config (the scale-defining number:
-    verification cost is linear in it)."""
+    verification cost is linear in it).
+
+    Same shape as the LSH/SRP generators: groupBy the chunk key (ONE
+    exchange — a self-join would evaluate the simhash subtree twice) and
+    enumerate in-bucket pairs, with the count-first hot-bucket cap
+    (``.dropped_buckets`` on the result)."""
     chunks = simhash_chunk_rows(corpus, n_chunks)
-    a = chunks.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
-                      "chunk_id", "chunk_val")
-    b = chunks.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
-                      "chunk_id", "chunk_val")
-    return (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .where(F.col("a_id") < F.col("b_id"))
+    buckets, dropped = _bucket_ids(
+        chunks, ["chunk_id", "chunk_val"], F.struct("doc_id", "sh"), max_bucket
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x["doc_id"], y["doc_id"]).alias("a_id"),
+                    F.greatest(x["doc_id"], y["doc_id"]).alias("b_id"),
+                    # hamming is symmetric: side assignment is free
+                    x["sh"].alias("a_sh"),
+                    y["sh"].alias("b_sh"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id", "p.a_sh", "p.b_sh")
         .dropDuplicates(["a_id", "b_id"])
     )
+    cand.dropped_buckets = dropped
+    return cand
 
 
 def simhash_pairs(
@@ -802,11 +888,13 @@ def simhash_pairs(
         )
     cand = simhash_candidate_pairs(corpus, n_chunks)
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+    pairs.dropped_buckets = cand.dropped_buckets
+    return pairs
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

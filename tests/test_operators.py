@@ -311,6 +311,29 @@ def test_simhash_scale_banding_candidates_grow_linearly(spark):
     assert ex_a > 10 * sc_a and ex_b > 10 * sc_b
 
 
+def test_simhash_kernel_matches_expression(spark):
+    """The Arrow simhash kernel (the pairs operators' fast path) must be
+    bit-equal to the pure JVM md5 expression (the oracle-certified
+    dedup_simhash query) on the corpus AND on edge inputs (empty text,
+    edge whitespace, repeated tokens — votes count occurrences)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        simhash60,
+        simhash_rows,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "\tTab  Edge\n"), (9003, "dup dup dup x"),
+         (9004, "MiXeD Case"), (9005, "one")],
+        ["doc_id", "text"],
+    )
+    corpus = d.unionByName(edge)
+    expr = {r["doc_id"]: r["h"]
+            for r in corpus.select("doc_id", simhash60("text").alias("h")).collect()}
+    kern = {r["doc_id"]: r["sh"] for r in simhash_rows(corpus).collect()}
+    assert kern == expr
+
+
 def test_simhash_pairs_rejects_unsound_banding(spark):
     import pytest as _pytest
 
