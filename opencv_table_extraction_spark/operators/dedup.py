@@ -936,6 +936,115 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_SCALE_HAMMING}
 """
 
 
+def connected_components_pairs(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by distributed
+    min-label propagation (the Pregel/GraphX "small-star" family,
+    public knowledge) — the operator that turns PAIRS into dedup
+    DECISIONS: every doc in a duplicate cluster maps to the cluster's
+    smallest doc_id (the deterministic keeper).
+
+    Each node starts labeled with its own id; every round each node
+    takes the min of its label and its neighbors' labels; converged
+    when no label changes. Rounds needed = graph diameter — tiny for
+    dup clusters (near-dup families are dense), and ``max_iter`` bounds
+    pathology. Per round: one join + one agg, labels persisted and the
+    previous round unpersisted, so lineage stays flat and the working
+    set is one (id, label) frame — at 100 TB that frame holds only docs
+    that appear in some pair, orders of magnitude smaller than the
+    corpus.
+
+    Returns (doc_id, keeper_id, cluster_size).
+    """
+    e = pairs.select("a_id", "b_id")
+    edges = e.unionByName(
+        e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(par, "b_id").persist()
+    labels = (
+        edges.select(F.col("a_id").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.a_id == labels.id)
+                .groupBy("b_id")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.b_id, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        out = (
+            labels.join(sizes, "label")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("keeper_id"),
+                F.col("cluster_size").cast("int").alias("cluster_size"),
+            )
+        )
+        # localCheckpoint: truncate the iterative lineage and make the
+        # result self-contained BEFORE the cached inputs are released
+        # (never a driver collect — the label set can be huge at scale).
+        # The checkpoint blocks are executor-resident and freed by the
+        # ContextCleaner when the returned frame is garbage-collected.
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper assignment over the Manku-banded simhash pair graph — the
+    end-to-end 'pairs -> decisions' path, exactly mirrored by a DuckDB
+    recursive-CTE transitive closure."""
+    pairs = _q_simhash_pairs_scale(spark, sf_dir)
+    return connected_components_pairs(pairs)
+
+
+_SQL_COMPONENTS = f"""
+WITH RECURSIVE
+corpus AS ({_SQL_CORPUS}),
+s AS (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_SCALE_HAMMING}),
+edges AS (SELECT a_id AS a, b_id AS b FROM p
+          UNION SELECT b_id, a_id FROM p),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+SELECT id AS doc_id, keeper AS keeper_id,
+       CAST(count(*) OVER (PARTITION BY keeper) AS INT) AS cluster_size
+FROM comp
+"""
+
+
 EMB_DIM = 64
 EMB_KEEP = 56  # near-dup derivation zeroes the last 8 dims
 EMB_COS_THRESHOLD = 0.9
@@ -1090,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
+        "dedup_components": _q_dedup_components,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
@@ -1105,5 +1215,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,
+        "dedup_components": _SQL_COMPONENTS,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
     }

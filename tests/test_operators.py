@@ -379,6 +379,36 @@ def test_corpus_whitespace_is_pinned_for_oracles(spark):
             assert all(_re.match(r"[ \t\n\r\f\v]", ch) for ch in t if ch.isspace())
 
 
+def test_connected_components_multi_hop_chain(spark):
+    """Min-label propagation must converge across multi-hop chains (a
+    cluster connected only transitively), handle several disjoint
+    clusters, and report exact sizes — beyond what single-round
+    neighbor-min could do."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    # chain 10-11-12-13-14 (diameter 4), pair (20,21), triangle 30-31-32
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21),
+         (30, 31), (31, 32), (30, 32)],
+        ["a_id", "b_id"],
+    )
+    n_cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+           for r in connected_components_pairs(pairs).collect()}
+    assert {d: got[d] for d in (10, 11, 12, 13, 14)} == {
+        d: (10, 5) for d in (10, 11, 12, 13, 14)}
+    assert got[20] == (20, 2) and got[21] == (20, 2)
+    assert all(got[d] == (30, 3) for d in (30, 31, 32))
+    # the loop's per-round caches are all released; only the returned
+    # frame's localCheckpoint blocks may remain (freed on GC)
+    n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached_after - n_cached_before <= 1, (n_cached_before,
+                                                   n_cached_after)
+
+
 def test_winnow_oracle_matches_on_edge_whitespace(spark, tmp_path):
     """The winnow DuckDB oracle must agree with the Spark query even for
     texts edged with tabs/newlines (the r2 ADVICE divergence: DuckDB's

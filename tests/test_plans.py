@@ -94,6 +94,7 @@ def test_prefix_join_no_cache_and_single_scan(spark):
         jaccard_prefix_pairs,
     )
 
+    n_cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     p = jaccard_prefix_pairs(dedup_corpus(spark, "/root/testdata/sf0.001"))
     # collect() (not count()) so THIS DataFrame's QueryExecution runs and
     # its adaptive plan is finalized with runtime exchange reuse resolved
@@ -102,9 +103,11 @@ def test_prefix_join_no_cache_and_single_scan(spark):
     assert "isFinalPlan=true" in plan
     assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
     assert "ReusedExchange" in plan
-    # and the session gained no lingering cached RDDs
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().isEmpty(), "prefix join leaked a cache"
+    # and the operator added no lingering cached RDDs (<=, not ==: the
+    # ContextCleaner may asynchronously free OTHER operators' released
+    # localCheckpoint blocks between the two measurements)
+    n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached_after <= n_cached_before, "prefix join leaked a cache"
 
 
 def test_kernel_stage_not_coalesced_to_one_task(spark, fixture_dir):
