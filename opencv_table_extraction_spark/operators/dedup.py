@@ -79,7 +79,12 @@ def _bucket_ids(
     """
     counts = rows.groupBy(*keys).agg(F.count("*").alias("n"))
     dropped = counts.where(F.col("n") > max_bucket)
-    ok = rows.join(F.broadcast(dropped.select(*keys)), keys, "left_anti")
+    # no broadcast hint: hot keys are usually a handful (AQE broadcasts
+    # them on its own), but each needs only > max_bucket rows to
+    # qualify, so an adversarial corpus can have up to N/max_bucket of
+    # them — forcing a broadcast would OOM the driver exactly when the
+    # cap matters most; AQE falls back to a shuffled join there
+    ok = rows.join(dropped.select(*keys), keys, "left_anti")
     buckets = (
         ok.groupBy(*keys)
         .agg(F.collect_list(collect_expr).alias("ids"))
@@ -1010,6 +1015,9 @@ def connected_components_pairs(
         # (never a driver collect — the label set can be huge at scale).
         # The checkpoint blocks are executor-resident and freed by the
         # ContextCleaner when the returned frame is garbage-collected.
+        # Cluster caveat: localCheckpoint blocks die with their executor
+        # — a long-lived production job should set a checkpoint dir and
+        # use reliable checkpoint() here (same call shape, HDFS-backed).
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
