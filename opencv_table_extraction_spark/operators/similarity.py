@@ -236,6 +236,59 @@ def ivf_search(
     )
 
 
+def ivf_write_partitioned(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_iter: int = 2
+) -> list[list[float]]:
+    """Write the embedding corpus as an IVF store: parquet PARTITIONED
+    BY centroid_id — the 100-TB ANN layout, where probing n_probe of K
+    buckets is physical partition pruning (the scan never touches the
+    other partitions' files; plan-tested via PartitionFilters). Returns
+    the codebook so searches reuse the exact clustering."""
+    e = _emb(spark, sf_dir)
+    cents = kmeans_centroids(e, n_iter=n_iter)
+    assigned = assign_to_codebook(e, _kmeans_lit(cents)).select(
+        "vec_id", "centroid_id"
+    )
+    e.join(assigned, "vec_id").select(
+        "vec_id", "embedding", "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(out_dir)
+    return cents
+
+
+def ivf_search_store(
+    spark: SparkSession,
+    store_dir: str,
+    cents: list[list[float]],
+    query_vec: list[float],
+    n_probe: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Probe-n search against an ivf_write_partitioned store: the
+    centroid_id.isin(probe) predicate prunes whole partitions at the
+    file index, so IO is n_probe/K of the store."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5)
+
+    probe = sorted(
+        range(len(cents)), key=lambda i: (-cos(query_vec, cents[i]), i)
+    )[:n_probe]
+    df = spark.read.parquet(store_dir).where(
+        F.col("centroid_id").isin([int(p) for p in probe])
+    )
+    if exclude_vec_id is not None:
+        df = df.where(F.col("vec_id") != exclude_vec_id)
+    q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            "vec_id", F.round(cosine(F.col("embedding"), q_lit), 4).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def _q_ivf_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible certification of the approximate search path:
     recall of ivf_search(n_probe=2 of 8 buckets) against the exact

@@ -110,6 +110,36 @@ def test_prefix_join_no_cache_and_single_scan(spark):
     assert n_cached_after <= n_cached_before, "prefix join leaked a cache"
 
 
+def test_ivf_store_probe_is_partition_pruned(spark, tmp_path):
+    """The IVF store layout claim must be visible in the plan: probing
+    a centroid-partitioned store pushes centroid_id into
+    PartitionFilters (whole non-probed partitions never scanned), and
+    the pruned search returns exactly what the unpartitioned
+    ivf_search computes with the same codebook."""
+    from opencv_table_extraction_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        ivf_search,
+        ivf_search_store,
+        ivf_write_partitioned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "ivf_store")
+    cents = ivf_write_partitioned(spark, sf, store)
+    q = [float(v) for v in
+         spark.read.parquet(f"{sf}/embeddings.parquet")
+         .where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]]
+    res = ivf_search_store(spark, store, cents, q,
+                           exclude_vec_id=QUERY_VEC_ID)
+    plan = _plan(res)
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[:pf.index("\n")]
+    assert "centroid_id" in pf, pf
+    got = [(r["vec_id"], r["cos"]) for r in res.collect()]
+    want = [(r["vec_id"], r["cos"]) for r in ivf_search(spark, sf).collect()]
+    assert got == want
+
+
 def test_kernel_stage_not_coalesced_to_one_task(spark, fixture_dir):
     """The CPU-bound kernel repartition carries an explicit count, so
     AQE must not collapse it to a single task (the 1-task regression the
