@@ -941,6 +941,63 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_SCALE_HAMMING}
 """
 
 
+DECONTAM_NGRAM = 8
+EVAL_MOD = 50  # stand-in benchmark set: originals with doc_id % 50 == 0
+
+
+def decontaminate_flags(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with the evaluation set (the train/test-contamination check
+    every LLM data pipeline runs before training; n-gram overlap is the
+    standard criterion, e.g. the GPT-3/PaLM decontamination recipes —
+    public knowledge).
+
+    Spark shape for 100 TB: the eval set is small by nature, so its
+    distinct n-gram set is BROADCAST and the corpus side is a map-only
+    explode + broadcast hash join — the 10^12-row side never shuffles.
+    Returns (doc_id, n_hits) for flagged docs only.
+    """
+    grams = F.explode(shingles(F.col("text"), n=n)).alias("gram")
+    eval_grams = eval_docs.select(grams).distinct()
+    corpus_grams = corpus.select("doc_id", grams)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination over the dedup corpus: the benchmark stand-in is
+    every 50th ORIGINAL doc; their planted truncations (doc_id + 1M)
+    share almost all n-grams and must be flagged — a guaranteed
+    non-trivial result the DuckDB oracle reproduces exactly."""
+    corpus = dedup_corpus(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    flags = decontaminate_flags(corpus.where(~is_eval), corpus.where(is_eval))
+    return flags
+
+
+_SQL_DECONTAM = rf"""
+WITH corpus AS ({_SQL_CORPUS}),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(string_split_regex(trim(text), '\s+')) - {DECONTAM_NGRAM}, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+{DECONTAM_NGRAM}], ' ')
+         ))) AS gram
+  FROM corpus),
+e AS (SELECT DISTINCT gram FROM g
+      WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000)
+SELECT doc_id, count(DISTINCT gram) AS n_hits
+FROM g JOIN e USING (gram)
+WHERE NOT (doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000)
+GROUP BY doc_id
+"""
+
+
 def connected_components_pairs(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -1208,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
         "dedup_components": _q_dedup_components,
+        "dedup_decontaminate": _q_decontaminate,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
@@ -1224,5 +1282,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,
         "dedup_components": _SQL_COMPONENTS,
+        "dedup_decontaminate": _SQL_DECONTAM,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
     }

@@ -246,6 +246,76 @@ FROM sel
 """
 
 
+def _q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    STABLE key (md5 of doc_id), never by position or rand(): the split
+    is reproducible across runs, partitionings, and engines, and a doc
+    keeps its split when the corpus grows — the property a training
+    pipeline needs for leak-free incremental rebuilds. md5 exists in
+    DuckDB too, so the oracle mirrors the hash arithmetic exactly."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", split.alias("split")
+    )
+
+
+_SQL_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             list_reduce(list_transform(range(1, 9),
+               p -> CAST(strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1
+                    AS BIGINT)),
+               (a, x) -> a * 16 + x) % 100 AS b
+      FROM documents)
+"""
+
+
+def _q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source (the natural
+    shard boundary), docs in stable doc_id order accumulate whitespace
+    token counts and spill to a new shard every 50k tokens — the
+    sequence-packing step that turns a corpus into bounded training
+    shards. One window cumsum, no Python; shard_id is a pure function
+    of the running sum so the assignment is partitioning-independent."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(50_000)).cast("int").alias("shard_id"),
+    )
+
+
+_SQL_PACK = r"""
+SELECT doc_id, source,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CAST(floor((sum(len(string_split_regex(trim(text), '\s+')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(string_split_regex(trim(text), '\s+'))) / 50000)
+            AS INT) AS shard_id
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_token_stats": _q_token_stats,
@@ -253,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_guess": _q_lang_guess,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
+        "text_train_test_split": _q_train_test_split,
+        "text_pack_token_shards": _q_pack_token_shards,
     }
 
 
@@ -263,4 +335,6 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_guess": _SQL_LANG,
         "text_fingerprint": _SQL_FINGERPRINT,
         "text_winnow_fingerprint": _SQL_WINNOW,
+        "text_train_test_split": _SQL_SPLIT,
+        "text_pack_token_shards": _SQL_PACK,
     }

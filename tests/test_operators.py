@@ -379,6 +379,66 @@ def test_corpus_whitespace_is_pinned_for_oracles(spark):
             assert all(_re.match(r"[ \t\n\r\f\v]", ch) for ch in t if ch.isspace())
 
 
+def test_decontaminate_flags_planted_contamination(spark):
+    """Every planted truncation of an eval-set doc shares n-grams with
+    it and must be flagged; eval docs themselves are never flagged; and
+    the big corpus side must reach the eval-gram join via broadcast
+    (the 10^12-row side never shuffles)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        EVAL_MOD,
+        _q_decontaminate,
+    )
+
+    flags = _q_decontaminate(spark, SF)
+    plan = flags._sc._jvm.PythonSQLUtils.explainString(
+        flags._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    got = {r["doc_id"]: r["n_hits"] for r in flags.collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    planted = {i + 1_000_000 for i in range(0, n_docs, EVAL_MOD)}
+    assert planted <= set(got), planted - set(got)
+    assert all(
+        not (d % EVAL_MOD == 0 and d < 1_000_000) for d in got
+    )
+    assert all(h >= 1 for h in got.values())
+
+
+def test_train_test_split_is_stable_under_corpus_growth(spark):
+    """A doc's split must depend only on its id (hash-based), never on
+    position or corpus size: the assignment over a half corpus equals
+    the assignment over the full corpus restricted to it, and the split
+    fractions land near 80/10/10."""
+    from opencv_table_extraction_spark.operators.textstats import (
+        _q_train_test_split,
+    )
+
+    full = {r["doc_id"]: r["split"]
+            for r in _q_train_test_split(spark, SF).collect()}
+    n = len(full)
+    frac = {s: sum(1 for v in full.values() if v == s) / n
+            for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0.03 and frac["test"] > 0.03
+    # restriction stability: recompute over an arbitrary subset
+    import pyspark.sql.functions as _F
+
+    sub = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(_F.col("doc_id") % 2 == 0)
+    )
+    from opencv_table_extraction_spark.operators import textstats as _ts
+
+    bucket = (
+        _F.conv(_F.substring(_F.md5(_F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (_F.when(bucket < 80, "train").when(bucket < 90, "val")
+             .otherwise("test"))
+    sub_map = {r["doc_id"]: r["split"]
+               for r in sub.select("doc_id", split.alias("split")).collect()}
+    assert all(full[d] == s for d, s in sub_map.items())
+
+
 def test_connected_components_multi_hop_chain(spark):
     """Min-label propagation must converge across multi-hop chains (a
     cluster connected only transitively), handle several disjoint
