@@ -279,29 +279,70 @@ FROM (SELECT doc_id, source,
 """
 
 
-def _q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_token_shards(
+    d: DataFrame, budget: int = 50_000, partitions: int | None = None
+) -> DataFrame:
     """Token-budget shard packing: within each source (the natural
     shard boundary), docs in stable doc_id order accumulate whitespace
-    token counts and spill to a new shard every 50k tokens — the
+    token counts and spill to a new shard every ``budget`` tokens — the
     sequence-packing step that turns a corpus into bounded training
-    shards. One window cumsum, no Python; shard_id is a pure function
-    of the running sum so the assignment is partitioning-independent."""
+    shards.
+
+    Scale shape — a DISTRIBUTED prefix sum, not one window per source
+    (a ``Window.partitionBy("source")`` puts an entire source in a
+    single task; with a handful of sources at 100 TB that is a
+    one-straggler plan). Instead:
+      1. range-partition by (source, doc_id) — each task holds a
+         contiguous doc_id slice of a source;
+      2. per-(source, partition) token subtotals — P rows total;
+      3. exclusive offsets over those P rows (a window over a frame the
+         size of the partition COUNT, trivially small);
+      4. local cumsum within each partition + offset.
+    The shard assignment is a pure function of the global running sum,
+    so it is independent of the partition count (tested under odd
+    parallelism)."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    par = partitions or d.sparkSession.sparkContext.defaultParallelism * 2
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
-    w = (
+    parts = (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .repartitionByRange(par, "source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    partials = parts.groupBy("source", "pid").agg(
+        F.sum("n_tokens").alias("part_sum")
+    )
+    w_off = (
         Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "source", "pid",
+        F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_local = (
+        Window.partitionBy("source", "pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tok).over(w)
-    return d.select(
-        "doc_id",
-        "source",
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / F.lit(50_000)).cast("int").alias("shard_id"),
+    cum = F.sum("n_tokens").over(w_local) + F.col("offset")
+    return (
+        parts.join(F.broadcast(offsets), ["source", "pid"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+            .cast("int")
+            .alias("shard_id"),
+        )
     )
+
+
+def _q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_token_shards(_docs(spark, sf_dir))
 
 
 _SQL_PACK = r"""

@@ -439,6 +439,27 @@ def test_train_test_split_is_stable_under_corpus_growth(spark):
     assert all(full[d] == s for d, s in sub_map.items())
 
 
+def test_pack_token_shards_is_partition_invariant(spark):
+    """The distributed prefix-sum packing must produce identical shard
+    assignments at any partition count (3, 7, 32) and never a window
+    spanning a whole source in one task — the global cumsum is exact
+    regardless of how ranges split."""
+    from opencv_table_extraction_spark.operators.textstats import (
+        pack_token_shards,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # small budget so shard boundaries land mid-source (exercises the
+    # cross-partition offsets, not just shard 0)
+    base = {(r["doc_id"]): (r["source"], r["shard_id"])
+            for r in pack_token_shards(d, budget=300, partitions=3).collect()}
+    assert len({v[1] for v in base.values()}) > 3  # multiple shards
+    for p in (7, 32):
+        got = {r["doc_id"]: (r["source"], r["shard_id"])
+               for r in pack_token_shards(d, budget=300, partitions=p).collect()}
+        assert got == base, p
+
+
 def test_connected_components_multi_hop_chain(spark):
     """Min-label propagation must converge across multi-hop chains (a
     cluster connected only transitively), handle several disjoint
