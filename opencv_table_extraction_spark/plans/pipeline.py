@@ -116,7 +116,16 @@ def with_turn_seq(out: DataFrame) -> DataFrame:
     """B5: window over conv_id -> stable turn ordering guarantee.
 
     Kept separable from the kernel map so lineage_summary can aggregate
-    on the *map* partitions before this window's exchange."""
+    on the *map* partitions before this window's exchange.
+
+    Scale note: the window serializes each conversation into one task —
+    correct and cheap while conversations are bounded (the data model's
+    assumption: 10^12 turns come from ~10^9 conversations, and the rows
+    here are the small extraction output, not images). A pathological
+    single conversation with ~10^9 turns would need the two-level
+    prefix-sum shape instead (range partition by (conv_id, turn_idx),
+    per-partition counts, exclusive offsets — see
+    operators/textstats.pack_token_shards for the worked pattern)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return out.withColumn("turn_seq", F.row_number().over(w))
 
