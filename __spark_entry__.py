@@ -492,6 +492,123 @@ GROUP BY 1
 """
 
 
+def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (point-in-time correctness): for each event, the
+    matching user's latest order at or before the event time — the
+    query shape every feature-store / training-label pipeline needs
+    (no future leakage).
+
+    Implemented with the distributed union-sort-window pattern — the
+    scale shape for as-of joins (ONE shuffle on the join key, one
+    ordered pass; no per-row range probe, no cross product): tag both
+    streams, union them, and carry the last order payload forward with
+    last(ignorenulls) over (key ORDER BY t, is_event, o_orderkey).
+    Ties: an order dated exactly at the event time counts (orders sort
+    before events at equal t), and among same-date orders the largest
+    o_orderkey wins — both matching the oracle's ORDER BY ... LIMIT 1.
+    """
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+    )
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").alias("t")
+    )
+    orders_s = o.select(
+        F.col("o_custkey").alias("key"), "t",
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    events_s = e.select(
+        F.col("user_id").alias("key"), "t",
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders_s.unionByName(events_s).select(
+        "key", "t", "is_event", "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+    )
+    return (
+        merged.where(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+            "last_orderkey",
+        )
+    )
+
+
+_SQL_ASOF = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       o.o_orderkey AS last_orderkey
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+) o ON TRUE
+"""
+
+
+def _q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 of event value per type (Spark `percentile`
+    and DuckDB `quantile_cont` both linearly interpolate)."""
+    e = _read(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return e.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 4).alias("p50"),
+        F.round(pct.getItem(1), 4).alias("p95"),
+        F.round(pct.getItem(2), 4).alias("p99"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def _q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): each event
+    lands in two windows — the overlapping-window construct streaming
+    dashboards use, certified in batch (the oracle unnests the two
+    bucket starts per event)."""
+    e = _read(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+_SQL_SLIDING = """
+WITH buckets AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL 1 HOUR, ts) - to_hours(CAST(off AS BIGINT)),
+                  '%Y-%m-%d %H:%M:%S') AS window_start
+  FROM events, UNNEST([0, 1]) AS u(off))
+SELECT window_start, event_type, count(*) AS cnt
+FROM buckets GROUP BY 1, 2
+"""
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams: explode + hash-agg + top-k —
     the classic distributed n-gram frequency pipeline."""
@@ -548,7 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": _q_event_stats,
         "event_sessionize": _q_sessionize,
         "event_tumbling_counts": _q_event_tumbling,
+        "event_sliding_counts": _q_event_sliding,
         "event_rollup_counts": _q_event_rollup,
+        "event_value_quantiles": _q_event_quantiles,
+        "events_asof_order": _q_events_asof_order,
         "user_event_timeline": _q_user_timeline,
         "part_type_revenue": _q_part_type_revenue,
         "top_bigrams": _q_top_bigrams,
@@ -578,7 +698,10 @@ def oracle_sql() -> dict[str, str]:
         "event_type_stats": _SQL_EVENTS,
         "event_sessionize": _SQL_SESSIONS,
         "event_tumbling_counts": _SQL_TUMBLING,
+        "event_sliding_counts": _SQL_SLIDING,
         "event_rollup_counts": _SQL_ROLLUP,
+        "event_value_quantiles": _SQL_QUANTILES,
+        "events_asof_order": _SQL_ASOF,
         "user_event_timeline": _SQL_TIMELINE,
         "part_type_revenue": _SQL_PART_TYPE,
         "top_bigrams": _SQL_BIGRAMS,
