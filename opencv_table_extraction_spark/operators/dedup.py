@@ -763,16 +763,21 @@ def _simhash_batches(batches):
 
     bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
     one = np.uint64(1)
-    cache: dict[str, int] = {}
-
-    def tok_hash(w: str) -> int:
-        h = cache.get(w)
-        if h is None:
-            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-            cache[w] = h
-        return h
 
     for batch in batches:
+        # memo scope = ONE Arrow batch: bounded by the batch's
+        # vocabulary, not the whole task's — a high-cardinality corpus
+        # (IDs, URLs) must not grow a task-lifetime dict toward the
+        # partition's full distinct-token set
+        cache: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            h = cache.get(w)
+            if h is None:
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                cache[w] = h
+            return h
+
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out = np.empty(len(doc_ids), dtype=np.int64)
@@ -866,7 +871,10 @@ def simhash_candidate_pairs(
 
 
 def simhash_pairs(
-    corpus: DataFrame, max_hamming: int = 12, n_chunks: int = 15
+    corpus: DataFrame,
+    max_hamming: int = 12,
+    n_chunks: int = 15,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding.
 
@@ -875,7 +883,14 @@ def simhash_pairs(
     (pigeonhole), so candidates come from a shuffle join on
     (chunk_id, chunk_value) — never a cross product — then are verified
     by exact popcount of the XOR. Exact recall requires
-    max_hamming <= n_chunks - 1 (asserted).
+    max_hamming <= n_chunks - 1 (asserted) AND no bucket over
+    ``max_bucket``: dropped hot buckets (surfaced on the result as
+    ``.dropped_buckets``) trade recall for bound. NOTE the interaction
+    in the (12, 15) mode: 4-bit chunks have only 16 values, so a
+    uniform corpus over ~16*max_bucket docs drops EVERY bucket — check
+    ``.dropped_buckets`` or raise ``max_bucket`` when running the
+    exactness mode beyond its small-corpus design point (the `_scale`
+    config's 15-bit chunks do not have this cliff).
 
     Config tradeoff (see SIMHASH_SCALE_* above): the (12, 15) default
     guarantees radius-12 recall but its 4-bit chunks collide at 1/16 —
@@ -891,7 +906,7 @@ def simhash_pairs(
             f"simhash_pairs: pigeonhole recall requires max_hamming <= "
             f"n_chunks - 1 (got max_hamming={max_hamming}, n_chunks={n_chunks})"
         )
-    cand = simhash_candidate_pairs(corpus, n_chunks)
+    cand = simhash_candidate_pairs(corpus, n_chunks, max_bucket=max_bucket)
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
     pairs = (
         cand.withColumn("hamming", hamming)
@@ -1032,6 +1047,7 @@ def connected_components_pairs(
         .persist()
     )
     try:
+        changed = -1
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.a_id == labels.id)
@@ -1058,6 +1074,15 @@ def connected_components_pairs(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # fail fast, never emit silently-split clusters: a pair
+            # graph with diameter > max_iter (a long drifting-near-dup
+            # chain) needs a bigger budget, not wrong keepers
+            raise RuntimeError(
+                f"connected_components_pairs: not converged after "
+                f"{max_iter} rounds ({changed} labels still changing) — "
+                "raise max_iter (rounds needed = pair-graph diameter)"
+            )
         sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
         out = (
             labels.join(sizes, "label")

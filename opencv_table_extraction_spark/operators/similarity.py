@@ -189,6 +189,24 @@ def _kmeans_lit(cents: list[list[float]]) -> F.Column:
     return F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
 
 
+def _cos_list(a: list[float], b: list[float]) -> float:
+    """Driver-side exact-Python cosine (K-row codebook work only)."""
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5)
+
+
+def _select_probe(
+    cents: list[list[float]], q: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe centroids nearest the query, ties to the smaller id —
+    ONE definition shared by ivf_search and ivf_search_store so the two
+    paths can never probe different buckets (their exact-equality
+    contract is test-pinned)."""
+    return sorted(
+        range(len(cents)), key=lambda i: (-_cos_list(q, cents[i]), i)
+    )[:n_probe]
+
+
 def ivf_search(
     spark: SparkSession,
     sf_dir: str,
@@ -208,14 +226,7 @@ def ivf_search(
         float(v)
         for v in e.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
     ]
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot / (na * nb)
-
-    probe = sorted(range(len(cents)), key=lambda i: (-cos(q, cents[i]), i))[:n_probe]
+    probe = _select_probe(cents, q, n_probe)
     assigned = assign_to_codebook(e, _kmeans_lit(cents)).select(
         "vec_id", "centroid_id"
     )
@@ -266,14 +277,7 @@ def ivf_search_store(
     """Probe-n search against an ivf_write_partitioned store: the
     centroid_id.isin(probe) predicate prunes whole partitions at the
     file index, so IO is n_probe/K of the store."""
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        return dot / (sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5)
-
-    probe = sorted(
-        range(len(cents)), key=lambda i: (-cos(query_vec, cents[i]), i)
-    )[:n_probe]
+    probe = _select_probe(cents, query_vec, n_probe)
     df = spark.read.parquet(store_dir).where(
         F.col("centroid_id").isin([int(p) for p in probe])
     )

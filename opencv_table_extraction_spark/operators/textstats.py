@@ -309,6 +309,15 @@ def pack_token_shards(
         d.select("doc_id", "source", n_tok.alias("n_tokens"))
         .repartitionByRange(par, "source", "doc_id")
         .withColumn("pid", F.spark_partition_id())
+        # pid is consumed by TWO branches (subtotals->offsets and the
+        # final join). RangePartitioner samples its boundaries, so if
+        # the branches ever planned as two separate exchanges (exchange
+        # reuse off, future planner change) they could assign DIFFERENT
+        # pids to boundary rows — subtotals counted in one partition,
+        # offsets applied from another: silently wrong shards. Eagerly
+        # materializing the (small, text-free) frame freezes pid in the
+        # data instead of relying on canonicalized-exchange reuse.
+        .localCheckpoint(eager=True)
     )
     partials = parts.groupBy("source", "pid").agg(
         F.sum("n_tokens").alias("part_sum")

@@ -490,6 +490,26 @@ def test_connected_components_multi_hop_chain(spark):
                                                    n_cached_after)
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A pair graph whose diameter exceeds the round budget must fail
+    fast, never emit silently-split clusters with wrong keepers."""
+    import pytest as _pytest
+
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], ["a_id", "b_id"]
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components_pairs(chain, max_iter=2)
+    # and with budget >= diameter it converges fine
+    got = {r["doc_id"]: r["keeper_id"]
+           for r in connected_components_pairs(chain, max_iter=10).collect()}
+    assert all(k == 10 for k in got.values())
+
+
 def test_winnow_oracle_matches_on_edge_whitespace(spark, tmp_path):
     """The winnow DuckDB oracle must agree with the Spark query even for
     texts edged with tabs/newlines (the r2 ADVICE divergence: DuckDB's

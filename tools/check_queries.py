@@ -67,12 +67,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    skipped = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name in sf_anchored and sf_base not in sf_anchored[name]:
             print(f"SKIP  {name:32s} planted oracle anchored to "
                   f"{'/'.join(sf_anchored[name])}, not {sf_base}")
+            skipped.append(name)
             continue
         t0 = time.time()
         try:
@@ -112,8 +114,10 @@ def main() -> int:
             print("  spark :", a.loc[idx].to_dict())
             print("  duckdb:", b.loc[idx].to_dict())
             failures.append(name)
-    n_ran = len([q for q in qs if not only or q in only])
-    print(f"\n{n_ran - len(failures)}/{n_ran} queries OK")
+    # skipped queries were NOT verified — never count them as OK
+    n_ran = len([q for q in qs if not only or q in only]) - len(skipped)
+    skip_note = f" ({len(skipped)} skipped: {', '.join(skipped)})" if skipped else ""
+    print(f"\n{n_ran - len(failures)}/{n_ran} queries OK{skip_note}")
     spark.stop()
     return 1 if failures else 0
 
