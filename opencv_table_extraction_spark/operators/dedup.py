@@ -401,19 +401,23 @@ def _jaccard_verify_batches(batches):
         )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_with_drops(
     corpus: DataFrame,
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """MinHash + LSH banding near-dup pairs, fully distributed:
       1. per-doc signature -> band keys (narrow Arrow kernel);
       2. bucket by (band_id, band_hash), enumerate in-bucket pairs —
          buckets over ``max_bucket`` ids are excluded count-first (no
-         giant single-task array, no quadratic blow-up; see _bucket_ids)
-         and surfaced on the result as ``.dropped_buckets``;
+         giant single-task array, no quadratic blow-up; see _bucket_ids);
       3. exact-Jaccard verification of the deduped candidates.
+
+    Returns ``(pairs, dropped)`` — the explicit telemetry contract: the
+    ``dropped`` frame (band_id, band_hash, n) enumerates every excluded
+    bucket, is lazy (evaluating it re-runs the banding subtree), and is
+    certified by the ``dedup_dropped_buckets`` driver query.
     """
     docs = corpus.select("doc_id", "text")
     bands = minhash_band_rows(docs, n_bands=n_bands)
@@ -442,6 +446,24 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     pairs = verify_candidate_pairs(cand, docs, threshold)
+    return pairs, dropped
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Pairs-only convenience wrapper over minhash_lsh_pairs_with_drops.
+
+    CAVEAT: the ``.dropped_buckets`` attribute lives on THIS returned
+    object only — any further transformation (.where/.select/.cache)
+    returns a NEW DataFrame without it. Callers that consume drops
+    should use the ``_with_drops`` form, which returns them explicitly."""
+    pairs, dropped = minhash_lsh_pairs_with_drops(
+        corpus, n_bands=n_bands, threshold=threshold, max_bucket=max_bucket
+    )
     pairs.dropped_buckets = dropped  # lazy telemetry frame (lineage hook)
     return pairs
 
@@ -499,9 +521,9 @@ def _shingle_rows_batches(batches):
         )
 
 
-def jaccard_prefix_pairs(
+def jaccard_prefix_pairs_with_drops(
     corpus: DataFrame, threshold: float = 0.5, max_bucket: int = MAX_BUCKET
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """EXACT set-similarity self-join via prefix filtering — the bounded
     scale path for exact Jaccard (AllPairs/PPJoin family; the MapReduce
     formulation follows Vernica/Carey/Li, SIGMOD 2010 — public
@@ -524,10 +546,10 @@ def jaccard_prefix_pairs(
     excluded by a narrow filter on the exploded prefix rows, with zero
     extra aggregation passes (unlike the LSH/SRP operators, which need
     the count-first _bucket_ids pass because their bucket sizes aren't
-    known upstream). Exactness holds whenever nothing is dropped — any
-    excluded shingle is surfaced on the result as ``.dropped_buckets``
-    (shingle, df) so the caller sees precisely where (and whether) the
-    no-false-negatives guarantee was traded for bound.
+    known upstream). Exactness holds whenever nothing is dropped — the
+    returned ``(pairs, dropped)`` tuple surfaces every excluded shingle
+    as (shingle, n=df) so the caller sees precisely where (and whether)
+    the no-false-negatives guarantee was traded for bound.
     """
     from pyspark.sql.types import IntegerType, StringType
 
@@ -627,6 +649,17 @@ def jaccard_prefix_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     pairs = verify_candidate_pairs(cand, docs, threshold)
+    return pairs, dropped
+
+
+def jaccard_prefix_pairs(
+    corpus: DataFrame, threshold: float = 0.5, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
+    caveat — use the ``_with_drops`` form to consume drops."""
+    pairs, dropped = jaccard_prefix_pairs_with_drops(
+        corpus, threshold=threshold, max_bucket=max_bucket
+    )
     pairs.dropped_buckets = dropped
     return pairs
 
@@ -830,9 +863,9 @@ def simhash_chunk_rows(corpus: DataFrame, n_chunks: int) -> DataFrame:
     ).select("doc_id", "sh", "c.chunk_id", "c.chunk_val")
 
 
-def simhash_candidate_pairs(
+def simhash_candidate_pairs_with_drops(
     corpus: DataFrame, n_chunks: int, max_bucket: int = MAX_BUCKET
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Distinct candidate (a_id, b_id, a_sh, b_sh) pairs from chunk
     bucketing — exposed separately so tests/benchmarks can measure
     candidate-set growth per banding config (the scale-defining number:
@@ -840,8 +873,8 @@ def simhash_candidate_pairs(
 
     Same shape as the LSH/SRP generators: groupBy the chunk key (ONE
     exchange — a self-join would evaluate the simhash subtree twice) and
-    enumerate in-bucket pairs, with the count-first hot-bucket cap
-    (``.dropped_buckets`` on the result)."""
+    enumerate in-bucket pairs, with the count-first hot-bucket cap;
+    returns ``(candidates, dropped)``."""
     chunks = simhash_chunk_rows(corpus, n_chunks)
     buckets, dropped = _bucket_ids(
         chunks, ["chunk_id", "chunk_val"], F.struct("doc_id", "sh"), max_bucket
@@ -866,16 +899,27 @@ def simhash_candidate_pairs(
         .select("p.a_id", "p.b_id", "p.a_sh", "p.b_sh")
         .dropDuplicates(["a_id", "b_id"])
     )
+    return cand, dropped
+
+
+def simhash_candidate_pairs(
+    corpus: DataFrame, n_chunks: int, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Candidates-only wrapper; see minhash_lsh_pairs for the attribute
+    caveat — use the ``_with_drops`` form to consume drops."""
+    cand, dropped = simhash_candidate_pairs_with_drops(
+        corpus, n_chunks, max_bucket=max_bucket
+    )
     cand.dropped_buckets = dropped
     return cand
 
 
-def simhash_pairs(
+def simhash_pairs_with_drops(
     corpus: DataFrame,
     max_hamming: int = 12,
     n_chunks: int = 15,
     max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """SimHash near-dup pairs via pigeonhole chunk banding.
 
     Split each 60-bit simhash into n_chunks equal chunks; any pair with
@@ -884,13 +928,14 @@ def simhash_pairs(
     (chunk_id, chunk_value) — never a cross product — then are verified
     by exact popcount of the XOR. Exact recall requires
     max_hamming <= n_chunks - 1 (asserted) AND no bucket over
-    ``max_bucket``: dropped hot buckets (surfaced on the result as
-    ``.dropped_buckets``) trade recall for bound. NOTE the interaction
+    ``max_bucket``: dropped hot buckets (the second element of the
+    returned tuple) trade recall for bound. NOTE the interaction
     in the (12, 15) mode: 4-bit chunks have only 16 values, so a
     uniform corpus over ~16*max_bucket docs drops EVERY bucket — check
-    ``.dropped_buckets`` or raise ``max_bucket`` when running the
-    exactness mode beyond its small-corpus design point (the `_scale`
-    config's 15-bit chunks do not have this cliff).
+    the drops frame or raise ``max_bucket`` when running the exactness
+    mode beyond its small-corpus design point (the `_scale` config's
+    15-bit chunks do not have this cliff; the registered exactness query
+    enforces zero drops via ``assert_no_drops``).
 
     Config tradeoff (see SIMHASH_SCALE_* above): the (12, 15) default
     guarantees radius-12 recall but its 4-bit chunks collide at 1/16 —
@@ -906,19 +951,56 @@ def simhash_pairs(
             f"simhash_pairs: pigeonhole recall requires max_hamming <= "
             f"n_chunks - 1 (got max_hamming={max_hamming}, n_chunks={n_chunks})"
         )
-    cand = simhash_candidate_pairs(corpus, n_chunks, max_bucket=max_bucket)
+    cand, dropped = simhash_candidate_pairs_with_drops(
+        corpus, n_chunks, max_bucket=max_bucket
+    )
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
     pairs = (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
-    pairs.dropped_buckets = cand.dropped_buckets
+    return pairs, dropped
+
+
+def simhash_pairs(
+    corpus: DataFrame,
+    max_hamming: int = 12,
+    n_chunks: int = 15,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
+    caveat — use the ``_with_drops`` form to consume drops."""
+    pairs, dropped = simhash_pairs_with_drops(
+        corpus, max_hamming=max_hamming, n_chunks=n_chunks, max_bucket=max_bucket
+    )
+    pairs.dropped_buckets = dropped
     return pairs
 
 
+def assert_no_drops(dropped: DataFrame, context: str) -> None:
+    """Fail fast when a bucketed candidate generator dropped ANY bucket
+    while running in an exactness-guaranteed mode. The count is one
+    cheap keys-only job (the banding subtree re-executes, but only up to
+    the partial-aggregated bucket counts — no arrays, no pairs)."""
+    hot = dropped.limit(5).collect()
+    if hot:
+        keys = ", ".join(str(tuple(r)) for r in hot)
+        raise RuntimeError(
+            f"{context}: hot-bucket cap dropped buckets ({keys}, ...) — "
+            "the exactness guarantee no longer holds on this corpus; "
+            "raise max_bucket or switch to the bounded scale config"
+        )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(dedup_corpus(spark, sf_dir))
+    """EXACTNESS-ORACLE mode (radius 12, 4-bit chunks): guarded — on a
+    corpus big/uniform enough to overflow max_bucket the (12, 15) cliff
+    (see simhash_pairs_with_drops) would silently diverge from the
+    brute-force oracle, so any drop raises instead."""
+    pairs, dropped = simhash_pairs_with_drops(dedup_corpus(spark, sf_dir))
+    assert_no_drops(dropped, "dedup_simhash_pairs (exactness-oracle mode)")
+    return pairs
 
 
 def _q_simhash_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,17 +1277,17 @@ def _srp_chunk_batches(batches):
         )
 
 
-def embedding_cosine_pairs(
+def embedding_cosine_pairs_with_drops(
     corpus: DataFrame,
     threshold: float = EMB_COS_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-dup pairs: SRP-LSH bucketing (never
     all-pairs) -> in-bucket candidate enumeration (buckets over
-    ``max_bucket`` excluded count-first and surfaced as
-    ``.dropped_buckets``) -> exact cosine verification. The verify
-    cosine is the same sequential-sum double expression the brute-force
-    oracle uses, so values match bitwise."""
+    ``max_bucket`` excluded count-first, returned as the second tuple
+    element) -> exact cosine verification. The verify cosine is the same
+    sequential-sum double expression the brute-force oracle uses, so
+    values match bitwise."""
     from pyspark.sql.types import IntegerType
 
     from .similarity import cosine
@@ -1252,12 +1334,64 @@ def embedding_cosine_pairs(
         )
     )
     pairs = ver.where(F.col("cos") >= threshold)
+    return pairs, dropped
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = EMB_COS_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
+    caveat — use the ``_with_drops`` form to consume drops."""
+    pairs, dropped = embedding_cosine_pairs_with_drops(
+        corpus, threshold=threshold, max_bucket=max_bucket
+    )
     pairs.dropped_buckets = dropped
     return pairs
 
 
 def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(embedding_corpus(spark, sf_dir))
+
+
+# Planted-degenerate certification of the hot-bucket cap itself: every
+# document rewritten to ONE constant text, so all N docs share identical
+# minhash band hashes -> exactly one bucket per band, each of size N >
+# the tiny cap -> the count-first exclusion must drop ALL of them and
+# the pair output must be EMPTY. The oracle is pure SQL: one row per
+# band with n = count(documents).
+DROPPED_DEMO_MAX_BUCKET = 8
+_DROPPED_DEMO_TEXT = "the same boilerplate text appears in every single document here"
+
+
+def _q_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified dropped-bucket telemetry (the production drop
+    path, not a test hook): runs the REAL minhash-LSH generator over the
+    degenerate corpus and returns one row per dropped bucket
+    (band_id, n), cross-checked with the pair count (must be 0 — every
+    bucket was dropped, so no candidates survive)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lit(_DROPPED_DEMO_TEXT).alias("text")
+    )
+    pairs, dropped = minhash_lsh_pairs_with_drops(
+        d, max_bucket=DROPPED_DEMO_MAX_BUCKET
+    )
+    n_pairs = pairs.count()  # eager cross-check: cap kills all candidates
+    return dropped.select(
+        F.col("band_id").cast("int").alias("band_id"),
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(n_pairs).cast("bigint").alias("n_surviving_pairs"),
+    )
+
+
+_SQL_DROPPED = f"""
+SELECT CAST(u.band_id AS INT) AS band_id,
+       count(*) AS n,
+       CAST(0 AS BIGINT) AS n_surviving_pairs
+FROM documents, UNNEST(range(0, {N_BANDS})) AS u(band_id)
+GROUP BY 1
+"""
 
 
 _SQL_EMB_ZEROS = ", ".join(["0.0"] * (EMB_DIM - EMB_KEEP))
@@ -1292,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_decontaminate": _q_decontaminate,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "dedup_dropped_buckets": _q_dropped_buckets,
     }
 
 
@@ -1309,4 +1444,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _SQL_COMPONENTS,
         "dedup_decontaminate": _SQL_DECONTAM,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
+        "dedup_dropped_buckets": _SQL_DROPPED,
     }

@@ -75,7 +75,13 @@ def _fold_conversation(key, pdfs, state: GroupState):
     n_turns, max_idx, total_chars = (
         state.get if state.exists else (0, -1, 0)
     )
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("turn_idx")
+    dfs = list(pdfs)
+    if not dfs:
+        # a group invoked with no new rows (state timeout, once a
+        # timeoutConf is ever enabled) must not crash pd.concat; emit
+        # nothing and leave the counters untouched
+        return
+    pdf = pd.concat(dfs, ignore_index=True).sort_values("turn_idx")
     pieces = pdf["role"].astype(str) + ": " + pdf["text"].astype(str)
     delta = "\n".join(pieces)
     # +1 per piece for the joining newline (including the one that glues
