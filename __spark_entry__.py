@@ -609,6 +609,106 @@ FROM buckets GROUP BY 1, 2
 """
 
 
+def _q_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (F.session_window, 30-min gap) — the same
+    construct the streaming form uses with a watermark, certified in
+    batch. Semantics pinned empirically (tests/test_pipeline_spark.py):
+    an event exactly gap seconds after the previous one still MERGES
+    (new session only when gap > 1800s), and window end = last event +
+    gap — the oracle mirrors both, and the per-user session counts
+    cross-check event_sessionize's lag/gap formulation (same 1800s)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_SESSION_WINDOWS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_event_olympic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (the Arrow-batched vectorized aggregate
+    flavor — SURVEY §2.C's one previously-unexercised UDF kind): per
+    event_type "olympic mean" of value — drop ONE min and ONE max, mean
+    the rest. The whole group's values arrive as one pandas Series
+    (vectorized sum/min/max, no per-row Python); the oracle mirrors the
+    arithmetic exactly as (sum - min - max) / (n - 2).
+
+    The sum runs in exact integer CENTS (value is 2-decimal quantized):
+    a double sum's last-ulp value depends on summation order (pandas
+    pairwise vs DuckDB sequential), and the fixture data actually lands
+    a group mean ON a .00005 rounding boundary — integer cents make
+    both engines divide the identical exact integer, so the doubles
+    (and their round(4)) match bitwise."""
+    import pandas as pd
+
+    def _olympic(v):
+        cents = (v * 100).round().astype("int64")
+        if len(cents) <= 2:
+            return float(cents.mean() / 100.0)
+        return float(
+            (cents.sum() - cents.min() - cents.max()) / ((len(cents) - 2) * 100.0)
+        )
+
+    def _n(v):
+        return len(v)
+
+    # real annotation objects (not strings): this module's
+    # `from __future__ import annotations` would otherwise stringify the
+    # Series -> scalar hints pandas_udf uses to infer GROUPED_AGG
+    _olympic.__annotations__ = {"v": pd.Series, "return": float}
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    olympic = F.pandas_udf(_olympic, "double")
+    n_udaf = F.pandas_udf(_n, "long")
+
+    # Spark disallows mixing a GROUPED_AGG UDAF with JVM aggregates in
+    # one agg(), so the count is a (trivial) second UDAF
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        n_udaf("value").alias("n"),
+        F.round(olympic("value"), 4).alias("olympic_mean"),
+    )
+
+
+_SQL_OLYMPIC = """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, count(*) AS n,
+       round(CASE WHEN count(*) <= 2
+                  THEN sum(cents) / (count(*) * 100.0)
+                  ELSE (sum(cents) - min(cents) - max(cents))
+                       / ((count(*) - 2) * 100.0)
+             END, 4) AS olympic_mean
+FROM c GROUP BY event_type
+"""
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams: explode + hash-agg + top-k —
     the classic distributed n-gram frequency pipeline."""
@@ -666,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_sessionize,
         "event_tumbling_counts": _q_event_tumbling,
         "event_sliding_counts": _q_event_sliding,
+        "event_session_windows": _q_event_session_windows,
+        "event_olympic_mean": _q_event_olympic_mean,
         "event_rollup_counts": _q_event_rollup,
         "event_value_quantiles": _q_event_quantiles,
         "events_asof_order": _q_events_asof_order,
@@ -699,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "event_sessionize": _SQL_SESSIONS,
         "event_tumbling_counts": _SQL_TUMBLING,
         "event_sliding_counts": _SQL_SLIDING,
+        "event_session_windows": _SQL_SESSION_WINDOWS,
+        "event_olympic_mean": _SQL_OLYMPIC,
         "event_rollup_counts": _SQL_ROLLUP,
         "event_value_quantiles": _SQL_QUANTILES,
         "events_asof_order": _SQL_ASOF,

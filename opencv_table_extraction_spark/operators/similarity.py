@@ -327,11 +327,69 @@ def _q_ivf_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible certification of the PARTITIONED IVF store — the
+    repo's 100-TB ANN layout (write PARTITIONED BY centroid_id, probe =
+    physical partition pruning; plan shape pinned by
+    tests/test_plans.py::test_ivf_store_partition_pruning). Writes the
+    store to a deterministic temp dir, runs the pruned search, and
+    returns the found-id set PLUS exact row-set equality (vec_id AND
+    cos) against the unpartitioned ivf_search — so the row certifies
+    both which neighbors the store path finds and that pruned physical
+    IO changes nothing. The oracle is the planted deterministic outcome
+    (decimal k-means, tie-broken argmax, fixed corpus), anchored to
+    sf0.01 like _SQL_IVF_RECALL; check_queries skips it elsewhere."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    store_dir = os.path.join(
+        tempfile.gettempdir(), f"octe_ivf_store_{sf_tag}"
+    )
+    cents = ivf_write_partitioned(spark, sf_dir, store_dir)
+    e = _emb(spark, sf_dir)
+    q = [
+        float(v)
+        for v in e.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    store = ivf_search_store(
+        spark, store_dir, cents, q, exclude_vec_id=QUERY_VEC_ID
+    ).select("vec_id", "cos")
+    direct = ivf_search(spark, sf_dir).select("vec_id", "cos")
+    n_store = store.count()
+    n_common = store.intersect(direct).count()  # both are K-row frames
+    return store.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("vec_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("found_ids_csv")
+    ).select(
+        F.lit(TOP_K).alias("k"),
+        F.lit(int(n_store)).alias("n_store"),
+        F.lit(int(n_common)).alias("n_common"),
+        F.lit(int(n_store == n_common == TOP_K)).alias("store_equals_direct"),
+        "found_ids_csv",
+    )
+
+
+# Planted expected value (see _SQL_IVF_RECALL's rationale): the pruned
+# store search must return exactly the unpartitioned ivf_search's top-10
+# — pinned id-by-id at sf0.01, equality flags pinned to full agreement.
+_SQL_IVF_STORE = """
+SELECT 10 AS k, 10 AS n_store, 10 AS n_common, 1 AS store_equals_direct,
+       '7,73,190,320,334,365,387,388,423,483' AS found_ids_csv
+"""
+IVF_STORE_ORACLE_SF = ("sf0.01",)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sim_embedding_topk": _q_embedding_topk,
         "sim_ivf_assign": _q_ivf_assign,
         "sim_ivf_search_recall": _q_ivf_search_recall,
+        "sim_ivf_store_search": _q_ivf_store_search,
     }
 
 
@@ -340,4 +398,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_topk": _SQL_TOPK,
         "sim_ivf_assign": _SQL_IVF,
         "sim_ivf_search_recall": _SQL_IVF_RECALL,
+        "sim_ivf_store_search": _SQL_IVF_STORE,
     }

@@ -233,3 +233,38 @@ def test_cpu_bound_scan_tuning_unpacks_small_files(spark, fixture_dir, tmp_path)
     restored = spark.read.parquet(str(d)).rdd.getNumPartitions()
     assert after >= 2 * before and after >= 8, (before, after)
     assert restored == before
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin F.session_window's exact-gap behavior (the semantics the
+    event_session_windows oracle mirrors): an event landing EXACTLY gap
+    seconds after the previous one still merges — a new session starts
+    only when the gap strictly exceeds the duration — and window end =
+    last event + gap."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 1800 s later: merges
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:01"),  # 1801 s later: new session
+        ],
+        "user_id int, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("s"),
+            F.col("w.end").cast("string").alias("e"),
+            "cnt",
+        )
+        .orderBy("user_id", "s")
+        .collect()
+    )
+    rows = [tuple(r) for r in out]
+    assert rows == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1),
+        (2, "2024-01-01 00:30:01", "2024-01-01 01:00:01", 1),
+    ], rows

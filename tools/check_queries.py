@@ -57,11 +57,15 @@ def main() -> int:
 
     from opencv_table_extraction_spark.operators.similarity import (
         IVF_RECALL_ORACLE_SF,
+        IVF_STORE_ORACLE_SF,
     )
 
     # planted-constant oracles are anchored to a specific sf; at any
     # other scale they would flip red as a false failure, so skip loudly
-    sf_anchored = {"sim_ivf_search_recall": IVF_RECALL_ORACLE_SF}
+    sf_anchored = {
+        "sim_ivf_search_recall": IVF_RECALL_ORACLE_SF,
+        "sim_ivf_store_search": IVF_STORE_ORACLE_SF,
+    }
     sf_base = os.path.basename(sf_dir.rstrip("/"))
 
     qs = entrymod.queries()
