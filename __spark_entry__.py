@@ -506,6 +506,17 @@ def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties: an order dated exactly at the event time counts (orders sort
     before events at equal t), and among same-date orders the largest
     o_orderkey wins — both matching the oracle's ORDER BY ... LIMIT 1.
+
+    Scale bound (same caveat as plans/pipeline.with_turn_seq): the
+    window serializes each KEY's full merged history (its orders + its
+    events) into one task — one shuffle, ordered pass, no range probe,
+    but a pathologically hot key is a straggler. Feature-store keys are
+    skew-prone, so at production scale bound it the standard ways:
+    time-bucket the window (carry each bucket's last order into the
+    next via a second small pass — the range-bucketed as-of), or cap
+    per-key history at ingest. The hot-key behavior (correct results,
+    single-task cost) is pinned by
+    tests/test_pipeline_spark.py::test_asof_join_hot_key_correct.
     """
     o = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",

@@ -1096,7 +1096,7 @@ GROUP BY doc_id
 
 
 def connected_components_pairs(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by distributed
     min-label propagation (the Pregel/GraphX "small-star" family,
@@ -1114,8 +1114,20 @@ def connected_components_pairs(
     that appear in some pair, orders of magnitude smaller than the
     corpus.
 
+    ``checkpoint_dir``: when set (an HDFS/object-store path on a real
+    cluster), the label frame takes a RELIABLE ``checkpoint()`` every
+    few rounds and the result is reliably checkpointed too — the
+    long-chain production shape: lineage is truncated to storage that
+    survives executor loss, where ``localCheckpoint`` blocks die with
+    their executor mid-job. When unset, localCheckpoint (fastest, fine
+    for short-diameter dup graphs and local runs).
+
     Returns (doc_id, keeper_id, cluster_size).
     """
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    _CKPT_EVERY = 5  # rounds between reliable lineage truncations
     e = pairs.select("a_id", "b_id")
     edges = e.unionByName(
         e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -1130,7 +1142,7 @@ def connected_components_pairs(
     )
     try:
         changed = -1
-        for _ in range(max_iter):
+        for round_idx in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.a_id == labels.id)
                 .groupBy("b_id")
@@ -1146,6 +1158,11 @@ def connected_components_pairs(
                 )
                 .persist()
             )
+            if checkpoint_dir is not None and (round_idx + 1) % _CKPT_EVERY == 0:
+                # reliable truncation: the per-round join lineage would
+                # otherwise chain across every round, and recomputing it
+                # after an executor loss replays the whole loop
+                new_labels = new_labels.checkpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -1174,14 +1191,15 @@ def connected_components_pairs(
                 F.col("cluster_size").cast("int").alias("cluster_size"),
             )
         )
-        # localCheckpoint: truncate the iterative lineage and make the
-        # result self-contained BEFORE the cached inputs are released
-        # (never a driver collect — the label set can be huge at scale).
-        # The checkpoint blocks are executor-resident and freed by the
-        # ContextCleaner when the returned frame is garbage-collected.
-        # Cluster caveat: localCheckpoint blocks die with their executor
-        # — a long-lived production job should set a checkpoint dir and
-        # use reliable checkpoint() here (same call shape, HDFS-backed).
+        # Truncate the iterative lineage and make the result
+        # self-contained BEFORE the cached inputs are released (never a
+        # driver collect — the label set can be huge at scale).
+        # localCheckpoint blocks are executor-resident (freed by the
+        # ContextCleaner when the frame is GC'd) and die with their
+        # executor — pass checkpoint_dir for the reliable storage-backed
+        # form on a real cluster.
+        if checkpoint_dir is not None:
+            return out.checkpoint(eager=True)
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()

@@ -554,3 +554,29 @@ def test_shingles_expression(spark):
     got = [r["sh"] for r in df.select(shingles(F.col("text")).alias("sh")).collect()]
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == ["x y"]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir engages the reliable checkpoint() path (periodic
+    label truncation + checkpointed result): a long chain whose
+    propagation needs more rounds than the truncation interval must
+    converge to the same keepers as the localCheckpoint path, and the
+    checkpoint dir must actually receive data."""
+    import os
+
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    # chain 10-...-22: diameter 12 > _CKPT_EVERY=5, so the periodic
+    # reliable truncation fires at least twice mid-loop
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 22)], ["a_id", "b_id"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+           for r in connected_components_pairs(
+               chain, max_iter=20, checkpoint_dir=ckpt).collect()}
+    assert got == {d: (10, 13) for d in range(10, 23)}
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "reliable checkpoint dir received no data"

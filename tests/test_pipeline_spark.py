@@ -268,3 +268,55 @@ def test_session_window_boundary_semantics(spark):
         (2, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1),
         (2, "2024-01-01 00:30:01", "2024-01-01 01:00:01", 1),
     ], rows
+
+
+def test_asof_join_hot_key_correct(spark, tmp_path):
+    """One user 50x hotter than the median must still get exactly-right
+    as-of matches (the union-sort-window pattern serializes each key's
+    history into one task — correct under skew, cost documented in
+    _q_events_asof_order). Truth is an independent per-event brute-force
+    scan with the same tie rules (order at event time counts; largest
+    o_orderkey wins among same-date orders)."""
+    import datetime
+
+    import __spark_entry__ as em
+
+    rng_orders, rng_events = [], []
+    base = datetime.datetime(1995, 1, 1)
+    users = [1] * 50 + [2, 3, 4, 5]  # user 1 is the hot key
+    ok = 0
+    for u in users:
+        for i in range(4):
+            ok += 1
+            rng_orders.append(
+                (ok, u, (base + datetime.timedelta(days=(ok * 7) % 300)).date())
+            )
+    ek = 0
+    for u in users:
+        for i in range(3):
+            ek += 1
+            rng_events.append(
+                (ek, u, base + datetime.timedelta(days=(ek * 11) % 400, hours=ek % 24))
+            )
+    spark.createDataFrame(
+        rng_orders, "o_orderkey long, o_custkey long, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        rng_events, "event_id long, user_id long, ts timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_id"]: r["last_orderkey"]
+        for r in em._q_events_asof_order(spark, str(tmp_path)).collect()
+    }
+    # independent truth: per-event linear scan
+    want = {}
+    for eid, u, ts in rng_events:
+        best = None
+        for okey, cust, od in rng_orders:
+            odt = datetime.datetime(od.year, od.month, od.day)
+            if cust == u and odt <= ts:
+                if best is None or (odt, okey) > best[0]:
+                    best = ((odt, okey), okey)
+        want[eid] = best[1] if best else None
+    assert got == want
