@@ -7,6 +7,15 @@ to exist) + the scale-relevant operators (minhash-LSH dedup, jaccard
 pairs, similarity, TPC-H-ish relational). Each query is timed to a full
 materialization (count/collect), 1 warmup for the session, per-query
 wall clock reported.
+
+Noisy-host protocol (r3 verdict: identical runs spread 3-40x under a
+bursty co-tenant): an ambient loadavg gate BEFORE the session starts
+(our own threads are idle then, so load1 is a pure tenant signal), then
+best-of-N per query (N = $SPARK_GRAFT_BENCH_ATTEMPTS, default 2 — a
+mid-run burst inflates one attempt, the min survives). The emitted JSON
+carries the gate metadata: release load, per-attempt raw times, and
+load1 at each attempt start, so a recorded number can be audited
+against the ambient conditions it ran under.
 """
 
 from __future__ import annotations
@@ -61,9 +70,25 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
     }
 
 
+def wait_for_ambient_quiet(max_load: float, timeout_s: int) -> float:
+    """Block until host 1-min loadavg <= max_load (or timeout). Called
+    BEFORE the Spark session does any work, so the reading is ambient
+    co-tenant load, not our own decaying contribution."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load <= max_load or time.time() - t0 > timeout_s:
+            return load
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2")))
+    gate_max = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "4.0"))
+    gate_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_TIMEOUT", "300"))
+    release_load = wait_for_ambient_quiet(gate_max, gate_timeout)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = build_session(
         "octe-bench",
@@ -79,11 +104,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     results: dict[str, float] = {}
+    raw: dict[str, dict] = {}
     n_turns = 0
     for name, fn in bench_queries(spark, sf_dir).items():
-        t0 = time.time()
-        n = fn()
-        results[name] = round(time.time() - t0, 3)
+        times, loads = [], []
+        for _ in range(attempts):
+            loads.append(round(os.getloadavg()[0], 2))
+            t0 = time.time()
+            n = fn()
+            times.append(round(time.time() - t0, 3))
+        results[name] = min(times)  # best-of-N: bursts inflate, min survives
+        raw[name] = {"times": times, "load1_at_start": loads}
         if name == "extract_full_pipeline":
             n_turns = n
     total = round(sum(results.values()), 3)
@@ -102,6 +133,12 @@ def main() -> None:
                 )
                 if n_turns
                 else 0.0,
+                "gate": {
+                    "max_load": gate_max,
+                    "release_load": round(release_load, 2),
+                    "attempts": attempts,
+                    "per_query": raw,
+                },
             }
         )
     )

@@ -172,6 +172,70 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
     return [int(x) for x in h[pos[keep]]]
 
 
+def winnow_fingerprint_batch(
+    texts, k: int = 8, window: int = 6
+) -> list[list[int]]:
+    """Cross-doc vectorized winnowing: ONE set of k Horner passes and
+    ONE sliding-window argmin over the whole batch's concatenated
+    code-point array, instead of per-document NumPy calls (the per-doc
+    fixed overhead — array alloc, k tiny passes, window view — dominates
+    for short documents). Per-document work shrinks to index slicing.
+
+    Equivalence with the per-doc ``winnow_fingerprint`` is exact (test-
+    pinned): hash positions and windows that cross a document boundary
+    are simply never read — doc i's k-gram hashes live at global
+    positions [off_i, off_i + L_i - k], all computed from doc-i chars
+    only, and only windows fully inside that range are consulted."""
+    import numpy as np
+
+    norm = [" ".join((t or "").lower().split()) for t in texts]
+    lens = np.array([len(s) for s in norm], dtype=np.int64)
+    offs = np.zeros(len(norm) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    out: list[list[int]] = [[] for _ in norm]
+    if total < k:
+        return out
+    data = np.frombuffer(
+        "".join(norm).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    base = np.uint64(131)
+    mod = np.uint64((1 << 31) - 1)
+    n = total - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k global passes — not k passes per document
+        h = (h * base + data[j : j + n]) % mod
+    j_sel = None
+    if n > window:
+        # rightmost min per sliding window WITHOUT sliding_window_view:
+        # argmin over a reversed strided view is ~7x slower than these
+        # `window` contiguous column passes (right-to-left, replace only
+        # on strictly-smaller keeps the RIGHTMOST min on ties)
+        n_win = n - window + 1
+        j_sel = np.full(n_win, window - 1, dtype=np.int64)
+        best = h[window - 1 : window - 1 + n_win].copy()
+        for c in range(window - 2, -1, -1):
+            v = h[c : c + n_win]
+            better = v < best
+            np.copyto(best, v, where=better)
+            j_sel[better] = c
+    for i, L in enumerate(lens):
+        if L < k:
+            continue
+        s0 = int(offs[i])
+        ni = int(L) - k + 1  # this doc's hash count
+        if ni <= window:
+            out[i] = [int(h[s0 : s0 + ni].min())]
+            continue
+        rows = np.arange(s0, s0 + ni - window + 1)
+        pos = rows + j_sel[rows]
+        keep = np.empty(len(pos), dtype=bool)
+        keep[0] = True
+        keep[1:] = pos[1:] != pos[:-1]
+        out[i] = [int(x) for x in h[pos[keep]]]
+    return out
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints as an Arrow-batched pandas UDF, emitted in
     driver-canonicalizable form (count + CSV string, no list column).
@@ -181,7 +245,9 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: winnow_fingerprint(t or ""))
+        return pd.Series(
+            winnow_fingerprint_batch(texts.tolist()), index=texts.index
+        )
 
     d = _docs(spark, sf_dir)
     return d.select("doc_id", winnow("text").alias("fps")).select(

@@ -580,3 +580,36 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {d: (10, 13) for d in range(10, 23)}
     wrote = any(files for _, _, files in os.walk(ckpt))
     assert wrote, "reliable checkpoint dir received no data"
+
+
+def test_winnow_batch_equals_per_doc():
+    """The cross-doc vectorized winnow kernel (one global Horner pass +
+    one global window pass) must be EXACTLY the per-document reference
+    on real docs, boundary-length strings, unicode, and whitespace
+    edges — document boundaries must never leak into hashes or window
+    selection."""
+    import random
+    import string
+
+    import pyarrow.parquet as pq
+
+    from opencv_table_extraction_spark.operators.textstats import (
+        winnow_fingerprint,
+        winnow_fingerprint_batch,
+    )
+
+    texts = (
+        pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        .column("text")
+        .to_pylist()
+    )
+    edges = ["", None, "ab", "abcdefg", "abcdefgh", "  x\t\ny  ",
+             "a" * 7, "a" * 8, "a" * 9, "a" * 13, "a" * 14, "a" * 15,
+             "é" * 20, "\U0001f600" * 12]
+    rng = random.Random(7)
+    fuzz = ["".join(rng.choice(string.ascii_lowercase + "  \t\n")
+                    for _ in range(rng.randrange(0, 60))) for _ in range(300)]
+    for batch in (texts, edges, fuzz, []):
+        assert winnow_fingerprint_batch(batch) == [
+            winnow_fingerprint(t or "") for t in batch
+        ]
