@@ -1114,20 +1114,24 @@ def connected_components_pairs(
     that appear in some pair, orders of magnitude smaller than the
     corpus.
 
-    ``checkpoint_dir``: when set (an HDFS/object-store path on a real
-    cluster), the label frame takes a RELIABLE ``checkpoint()`` every
-    few rounds and the result is reliably checkpointed too — the
-    long-chain production shape: lineage is truncated to storage that
-    survives executor loss, where ``localCheckpoint`` blocks die with
-    their executor mid-job. When unset, localCheckpoint (fastest, fine
-    for short-diameter dup graphs and local runs).
+    Lineage truncation is NOT optional here: each round's frame
+    references the previous one twice (directly and through the
+    neighbor-min join), so the LOGICAL plan doubles per round —
+    ``persist`` alone caches data but keeps the plan, and by ~15 rounds
+    plan analysis itself OOMs the driver (observed at sf0.1). Every
+    ``_CKPT_EVERY`` rounds the label frame is therefore checkpointed:
+    reliably into ``checkpoint_dir`` when set (an HDFS/object-store
+    path on a real cluster — survives executor loss, the long-chain
+    production shape), else ``localCheckpoint`` (executor-resident
+    blocks). Between truncations the plan grows at most 2^_CKPT_EVERY
+    over a truncated base.
 
     Returns (doc_id, keeper_id, cluster_size).
     """
     sc = pairs.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
-    _CKPT_EVERY = 5  # rounds between reliable lineage truncations
+    _CKPT_EVERY = 5  # rounds between lineage truncations (plan <= 2^5 x base)
     e = pairs.select("a_id", "b_id")
     edges = e.unionByName(
         e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -1140,6 +1144,11 @@ def connected_components_pairs(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    # truncated frames' blocks are the ONLY copy of their data (no
+    # recomputable lineage) — never unpersist one mid-loop while later
+    # rounds still chain off it; they are released together in finally
+    truncated: list[DataFrame] = []
+    labels_is_truncated = False
     try:
         changed = -1
         for round_idx in range(max_iter):
@@ -1156,21 +1165,27 @@ def connected_components_pairs(
                         F.col("label"), F.coalesce("nbr_label", "label")
                     ).alias("label"),
                 )
-                .persist()
             )
-            if checkpoint_dir is not None and (round_idx + 1) % _CKPT_EVERY == 0:
-                # reliable truncation: the per-round join lineage would
-                # otherwise chain across every round, and recomputing it
-                # after an executor loss replays the whole loop
-                new_labels = new_labels.checkpoint(eager=True)
+            truncate = (round_idx + 1) % _CKPT_EVERY == 0
+            if truncate:
+                new_labels = (
+                    new_labels.checkpoint(eager=True)
+                    if checkpoint_dir is not None
+                    else new_labels.localCheckpoint(eager=True)
+                )
+                truncated.append(new_labels)
+            else:
+                new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .where(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
+            if not labels_is_truncated:
+                labels.unpersist()
             labels = new_labels
+            labels_is_truncated = truncate
             if changed == 0:
                 break
         if changed != 0:
@@ -1202,8 +1217,17 @@ def connected_components_pairs(
             return out.checkpoint(eager=True)
         return out.localCheckpoint(eager=True)
     finally:
+        # runs AFTER the result is checkpointed self-contained (or on
+        # the error path, where nothing downstream needs the blocks)
         edges.unpersist()
-        labels.unpersist()
+        if not labels_is_truncated:
+            labels.unpersist()
+        # mid-loop localCheckpoint blocks cannot be dropped via
+        # DataFrame.unpersist (they are RDD-level persists, not
+        # CacheManager entries); the ContextCleaner frees them when the
+        # frames go out of scope here — same lifecycle as the returned
+        # frame's blocks. Bounded: at most rounds/_CKPT_EVERY frames of
+        # one (id, label) row per pair-connected doc.
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,13 +1240,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COMPONENTS = f"""
 WITH RECURSIVE
-corpus AS ({_SQL_CORPUS}),
-s AS (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus),
-p AS (
+corpus AS MATERIALIZED ({_SQL_CORPUS}),
+s AS MATERIALIZED (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus),
+p AS MATERIALIZED (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM s a JOIN s b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_SCALE_HAMMING}),
-edges AS (SELECT a_id AS a, b_id AS b FROM p
+-- MATERIALIZED: without it DuckDB may inline these CTEs into every
+-- iteration of the recursion below, recomputing the per-doc simhash
+-- and the all-pairs join once per closure step (observed: minutes ->
+-- hours at sf0.1); the hint pins one evaluation
+edges AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM p
           UNION SELECT b_id, a_id FROM p),
 reach(id, r) AS (
   SELECT a, a FROM edges

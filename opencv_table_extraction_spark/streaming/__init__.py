@@ -1,2 +1,6 @@
-from .incremental import run_incremental, windowed_event_counts  # noqa: F401
+from .incremental import (  # noqa: F401
+    run_incremental,
+    session_event_counts,
+    windowed_event_counts,
+)
 from .stateful import assemble_conversations  # noqa: F401

@@ -107,6 +107,53 @@ def windowed_event_counts(
     q.awaitTermination()
 
 
+def session_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "1 hour",
+    gap: str = "30 minutes",
+) -> None:
+    """Watermarked SESSION-window aggregation — the streaming form of
+    the batch-certified ``event_session_windows`` query (same
+    F.session_window + agg expressions; the test asserts streaming rows
+    equal the batch aggregation for every finalized session).
+
+    Unlike fixed windows, session state MERGES as events arrive (a late
+    in-delay event can bridge two open sessions); a session is emitted
+    once its end (last event + gap) falls behind the watermark, at which
+    point no admissible event can extend it."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental(
     spark: SparkSession,
     source_dir: str,

@@ -483,10 +483,12 @@ def test_connected_components_multi_hop_chain(spark):
         d: (10, 5) for d in (10, 11, 12, 13, 14)}
     assert got[20] == (20, 2) and got[21] == (20, 2)
     assert all(got[d] == (30, 3) for d in (30, 31, 32))
-    # the loop's per-round caches are all released; only the returned
-    # frame's localCheckpoint blocks may remain (freed on GC)
+    # the loop's per-round persists are all released; what may remain:
+    # the returned frame's localCheckpoint blocks plus at most
+    # rounds/_CKPT_EVERY mid-loop truncation frames (RDD-level persists
+    # the ContextCleaner frees on GC — DataFrame.unpersist cannot)
     n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached_after - n_cached_before <= 1, (n_cached_before,
+    assert n_cached_after - n_cached_before <= 2, (n_cached_before,
                                                    n_cached_after)
 
 

@@ -166,3 +166,56 @@ def test_stateful_assembly_continues_across_restarts(spark, tmp_path):
     full = "user: hi\nassistant: hello\nuser: more"
     assert _assembled(rows2, "a") == full
     assert latest_a["total_chars"] == len(full)
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Streaming form of the batch-certified event_session_windows
+    construct: availableNow + withWatermark + F.session_window. Every
+    session the stream finalizes (end <= watermark) must equal the
+    batch session aggregation of the same files row-for-row, and the
+    first file's sessions must all have been emitted once the second
+    file pushes the watermark past them."""
+    from pyspark.sql import functions as F
+
+    from opencv_table_extraction_spark.streaming import session_event_counts
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    os.makedirs(src)
+    # f1: three users, bursts separated by >30min gaps inside hour 0-3;
+    # f2: hour 20 — arrival finalizes every f1 session
+    f1 = [(i, (i % 4) * 70 + (i % 3) * 5, "click", i) for i in range(18)]
+    f1.append((50, 3 * 60 + 10, "view", 2.5))
+    f2 = [(200 + i, 20 * 60 + 45 * i, "view", i) for i in range(3)]
+    pq.write_table(_events_table(f1), str(src / "f1.parquet"))
+    pq.write_table(_events_table(f2), str(src / "f2.parquet"))
+
+    session_event_counts(spark, str(src), str(out))
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    assert got, "stream emitted no finalized sessions"
+
+    batch = {}
+    for r in (
+        spark.read.parquet(str(src))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "sum_value")
+        .collect()
+    ):
+        batch[(r["user_id"], r["session_start"])] = (
+            r["session_end"], r["n_events"], r["sum_value"])
+
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    # every f1 session (start before hour 19) must be finalized
+    pending = {k for k in batch if k not in got}
+    assert all(s >= "2026-01-01 20:" for _, s in pending), pending

@@ -40,7 +40,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # bare names = run only those; --skip name = run everything else
+    # (e.g. excluding the guarded quadratic oracle modes at sf >= 0.1)
+    only = {a for a in sys.argv[2:] if not a.startswith("--skip=")}
+    excluded = {
+        n for a in sys.argv[2:] if a.startswith("--skip=")
+        for n in a[len("--skip="):].split(",")
+    }
 
     import __spark_entry__ as entrymod
     from opencv_table_extraction_spark.session import build_session
@@ -73,7 +79,10 @@ def main() -> int:
     failures = []
     skipped = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in excluded:
+            if name in excluded:
+                print(f"SKIP  {name:32s} excluded via --skip")
+                skipped.append(name)
             continue
         if name in sf_anchored and sf_base not in sf_anchored[name]:
             print(f"SKIP  {name:32s} planted oracle anchored to "
@@ -119,7 +128,9 @@ def main() -> int:
             print("  duckdb:", b.loc[idx].to_dict())
             failures.append(name)
     # skipped queries were NOT verified — never count them as OK
-    n_ran = len([q for q in qs if not only or q in only]) - len(skipped)
+    n_ran = len(
+        [q for q in qs if (not only or q in only) and q not in excluded]
+    ) - len([s for s in skipped if s not in excluded])
     skip_note = f" ({len(skipped)} skipped: {', '.join(skipped)})" if skipped else ""
     print(f"\n{n_ran - len(failures)}/{n_ran} queries OK{skip_note}")
     spark.stop()
