@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from opencv_table_extraction_spark.operators import asof
 from opencv_table_extraction_spark.operators import dedup as dd
 from opencv_table_extraction_spark.operators import multimodal as mm
 from opencv_table_extraction_spark.operators import similarity as sim
@@ -511,50 +512,48 @@ def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     window serializes each KEY's full merged history (its orders + its
     events) into one task — one shuffle, ordered pass, no range probe,
     but a pathologically hot key is a straggler. Feature-store keys are
-    skew-prone, so at production scale bound it the standard ways:
-    time-bucket the window (carry each bucket's last order into the
-    next via a second small pass — the range-bucketed as-of), or cap
-    per-key history at ingest. The hot-key behavior (correct results,
-    single-task cost) is pinned by
-    tests/test_pipeline_spark.py::test_asof_join_hot_key_correct.
+    skew-prone, so the range-bucketed variant below
+    (events_asof_order_bucketed, operators/asof.asof_last_bucketed)
+    bounds every task at one bucket's slice of one key; hot-key
+    behavior of THIS shape (correct results, single-task cost) is
+    pinned by tests/test_pipeline_spark.py::test_asof_join_hot_key_correct.
     """
+    o, e = _asof_inputs(spark, sf_dir)
+    return _asof_output(asof.asof_last(o, e))
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
     o = _read(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey",
+        F.col("o_custkey").alias("key"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
-    )
-    e = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").alias("t")
-    )
-    orders_s = o.select(
-        F.col("o_custkey").alias("key"), "t",
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
         "o_orderkey",
     )
-    events_s = e.select(
-        F.col("user_id").alias("key"), "t",
-        F.lit(1).alias("is_event"),
+    e = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("t"), "event_id"
+    )
+    return o, e
+
+
+def _asof_output(res: DataFrame) -> DataFrame:
+    return res.select(
         "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("key").alias("user_id"),
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+        "last_orderkey",
     )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("t", "is_event", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = orders_s.unionByName(events_s).select(
-        "key", "t", "is_event", "event_id",
-        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
-    )
-    return (
-        merged.where(F.col("is_event") == 1)
-        .select(
-            "event_id",
-            F.col("key").alias("user_id"),
-            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
-            "last_orderkey",
-        )
-    )
+
+
+def _q_events_asof_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-BUCKETED as-of join (operators/asof.asof_last_bucketed) —
+    the hot-key-bounded production shape: the per-key window runs per
+    (key, 90-day bucket) and the carry-in comes from a #buckets-sized
+    window, so no task ever holds a key's full history. Certified by the
+    SAME LATERAL oracle as events_asof_order: a hash match proves the
+    bucketed decomposition is exactly the as-of semantics (orders span
+    1992-1998, events 2024+ — the carry chain crosses ~130 empty
+    buckets, a real test of the carry logic)."""
+    o, e = _asof_inputs(spark, sf_dir)
+    return _asof_output(asof.asof_last_bucketed(o, e, bucket="90 days"))
 
 
 _SQL_ASOF = """
@@ -782,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup_counts": _q_event_rollup,
         "event_value_quantiles": _q_event_quantiles,
         "events_asof_order": _q_events_asof_order,
+        "events_asof_order_bucketed": _q_events_asof_order_bucketed,
         "user_event_timeline": _q_user_timeline,
         "part_type_revenue": _q_part_type_revenue,
         "top_bigrams": _q_top_bigrams,
@@ -817,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "event_rollup_counts": _SQL_ROLLUP,
         "event_value_quantiles": _SQL_QUANTILES,
         "events_asof_order": _SQL_ASOF,
+        "events_asof_order_bucketed": _SQL_ASOF,
         "user_event_timeline": _SQL_TIMELINE,
         "part_type_revenue": _SQL_PART_TYPE,
         "top_bigrams": _SQL_BIGRAMS,

@@ -320,3 +320,44 @@ def test_asof_join_hot_key_correct(spark, tmp_path):
                     best = ((odt, okey), okey)
         want[eid] = best[1] if best else None
     assert got == want
+
+
+def test_asof_bucketed_equals_plain_under_skew(spark):
+    """asof_last_bucketed must equal asof_last row-for-row on a skewed
+    input whose hot key's history spans many buckets (including ties:
+    same-timestamp orders, order exactly at event time) — the
+    decomposition into (key, bucket) windows + carry chain must be
+    invisible in the result."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from opencv_table_extraction_spark.operators.asof import (
+        asof_last,
+        asof_last_bucketed,
+    )
+
+    base = datetime.datetime(2020, 1, 1)
+    orders, events = [], []
+    ok = 0
+    for u in [1] * 80 + [2, 3]:  # hot key 1
+        ok += 1
+        t = base + datetime.timedelta(days=(ok * 13) % 900)
+        orders.append((u, t, ok))
+        if ok % 7 == 0:
+            orders.append((u, t, ok + 1000))  # same-timestamp tie
+            ok_dup = True
+    for i in range(200):
+        u = 1 if i % 5 else 2
+        events.append((u, base + datetime.timedelta(days=(i * 9) % 1000), i))
+    # plant an event exactly at an order timestamp (tie: order counts)
+    events.append((1, orders[0][1], 9999))
+    o = spark.createDataFrame(orders, "key long, t timestamp, o_orderkey long")
+    e = spark.createDataFrame(events, "key long, t timestamp, event_id long")
+
+    plain = {r["event_id"]: r["last_orderkey"]
+             for r in asof_last(o, e).collect()}
+    for bucket in ("30 days", "365 days"):
+        bucketed = {r["event_id"]: r["last_orderkey"]
+                    for r in asof_last_bucketed(o, e, bucket=bucket).collect()}
+        assert bucketed == plain, bucket
