@@ -27,6 +27,7 @@ from opencv_table_extraction_spark.operators import similarity as sim
 from opencv_table_extraction_spark.operators import textstats as ts
 from opencv_table_extraction_spark.plans import (
     extract_transcripts,
+    lineage_summary,
     ordered_output,
     transcripts_from_tpch,
 )
@@ -619,6 +620,39 @@ FROM buckets GROUP BY 1, 2
 """
 
 
+def _q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of the B8 lineage path (previously
+    pytest-only): run the REAL extraction pipeline on the order-table
+    family, aggregate its per-partition lineage rows, and reduce to the
+    partition-INVARIANT totals (per-partition rows themselves depend on
+    task placement; their sums do not). A hash match proves the lineage
+    aggregation counts exactly what the kernel produced — the oracle
+    derives the same totals from lineitem arithmetic alone."""
+    t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
+    lin = lineage_summary(out)
+    return lin.agg(
+        F.count("*").cast("bigint").alias("n_partitions_nonempty"),
+        F.sum("n_turns").cast("bigint").alias("n_turns"),
+        F.sum("n_cells").cast("bigint").alias("n_cells"),
+        F.sum("n_errors").cast("bigint").alias("n_errors"),
+    ).select(
+        # partition count depends on scheduling width; certify only its
+        # positivity alongside the invariant totals
+        (F.col("n_partitions_nonempty") > 0).cast("int").alias("has_partitions"),
+        "n_turns", "n_cells", "n_errors",
+    )
+
+
+_SQL_LINEAGE_TOTALS = """
+SELECT 1 AS has_partitions,
+       count(DISTINCT l_orderkey) AS n_turns,
+       CAST(sum(cnt + 1) * 4 AS BIGINT) AS n_cells,
+       CAST(0 AS BIGINT) AS n_errors
+FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+"""
+
+
 def _q_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE session windows (F.session_window, 30-min gap) — the same
     construct the streaming form uses with a watermark, certified in
@@ -782,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": _q_event_quantiles,
         "events_asof_order": _q_events_asof_order,
         "events_asof_order_bucketed": _q_events_asof_order_bucketed,
+        "lineage_totals": _q_lineage_totals,
         "user_event_timeline": _q_user_timeline,
         "part_type_revenue": _q_part_type_revenue,
         "top_bigrams": _q_top_bigrams,
@@ -818,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _SQL_QUANTILES,
         "events_asof_order": _SQL_ASOF,
         "events_asof_order_bucketed": _SQL_ASOF,
+        "lineage_totals": _SQL_LINEAGE_TOTALS,
         "user_event_timeline": _SQL_TIMELINE,
         "part_type_revenue": _SQL_PART_TYPE,
         "top_bigrams": _SQL_BIGRAMS,

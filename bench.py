@@ -67,6 +67,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
         "text_token_stats": mk("text_token_stats"),
         "pricing_summary": mk("pricing_summary"),
         "event_sessionize": mk("event_sessionize"),
+        # r4 additions: the hot-key-bounded as-of shape and native
+        # session windows (both scale-path operators)
+        "events_asof_order_bucketed": mk("events_asof_order_bucketed"),
+        "event_session_windows": mk("event_session_windows"),
     }
 
 
