@@ -661,18 +661,9 @@ def _q_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (new session only when gap > 1800s), and window end = last event +
     gap — the oracle mirrors both, and the per-user session counts
     cross-check event_sessionize's lag/gap formulation (same 1800s)."""
-    e = _read(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
+    from opencv_table_extraction_spark.streaming import session_window_agg
+
+    return session_window_agg(_read(spark, sf_dir, "events"), "30 minutes")
 
 
 _SQL_SESSION_WINDOWS = """

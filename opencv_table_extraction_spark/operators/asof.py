@@ -105,8 +105,18 @@ def asof_last_bucketed(
         .agg(F.max_by("o_orderkey", F.struct("t", "o_orderkey")).alias("bkt_last"))
     )
     # every (key, bucket) either stream touches, so event-only buckets
-    # still receive a carry row
-    all_bkts = tagged.select("key", "bkt").distinct()
+    # still receive a carry row. Built from the already-aggregated order
+    # summary plus ONE column-pruned events scan — not from `tagged`,
+    # whose re-evaluation would re-read both inputs in full. Total input
+    # IO of this shape: events fully once (the staged window) + events
+    # (key, t) once + orders twice (t, key, o_orderkey) — the extra
+    # reads are the narrow/small sides, the trade for bounding every
+    # window task at one bucket of one key.
+    all_bkts = (
+        events.select("key", F.window("t", bucket).start.alias("bkt"))
+        .unionByName(bkt_orders.select("key", "bkt"))
+        .distinct()
+    )
     # carry-in = last order-bearing bucket's final order over all
     # EARLIER buckets; partition size = #buckets per key (tiny)
     carry_w = (

@@ -1124,12 +1124,25 @@ def connected_components_pairs(
     path on a real cluster — survives executor loss, the long-chain
     production shape), else ``localCheckpoint`` (executor-resident
     blocks). Between truncations the plan grows at most 2^_CKPT_EVERY
-    over a truncated base.
+    over a truncated base. Caller contract for ``checkpoint_dir``: the
+    files written there are NOT auto-deleted (Spark only removes
+    reliable checkpoints when spark.cleaner.referenceTracking.
+    cleanCheckpoints is enabled) — pass a per-job directory and delete
+    it after consuming the result; the session's checkpoint dir is
+    restored on exit when one was previously set (Spark cannot unset
+    it, so otherwise ours remains).
 
     Returns (doc_id, keeper_id, cluster_size).
     """
     sc = pairs.sparkSession.sparkContext
+    prior_ckpt_dir = None
     if checkpoint_dir is not None:
+        # setCheckpointDir is SESSION-GLOBAL state: remember any prior
+        # dir and restore it on exit so an unrelated frame's later
+        # checkpoint() doesn't silently land in (possibly disposable)
+        # checkpoint_dir. If no prior dir was set, ours remains — Spark
+        # has no unset — which the docstring calls out.
+        prior_ckpt_dir = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
     _CKPT_EVERY = 5  # rounds between lineage truncations (plan <= 2^5 x base)
     e = pairs.select("a_id", "b_id")
@@ -1168,11 +1181,17 @@ def connected_components_pairs(
             )
             truncate = (round_idx + 1) % _CKPT_EVERY == 0
             if truncate:
-                new_labels = (
-                    new_labels.checkpoint(eager=True)
-                    if checkpoint_dir is not None
-                    else new_labels.localCheckpoint(eager=True)
-                )
+                if checkpoint_dir is not None:
+                    # persist first: an eager reliable checkpoint of an
+                    # UNPERSISTED frame runs the lineage twice (once for
+                    # the eager count, again for the checkpoint-write
+                    # job); the cache makes the write job a cache read,
+                    # and is dropped as soon as the files exist
+                    base = new_labels.persist()
+                    new_labels = base.checkpoint(eager=True)
+                    base.unpersist()
+                else:
+                    new_labels = new_labels.localCheckpoint(eager=True)
                 truncated.append(new_labels)
             else:
                 new_labels = new_labels.persist()
@@ -1222,12 +1241,19 @@ def connected_components_pairs(
         edges.unpersist()
         if not labels_is_truncated:
             labels.unpersist()
+        if prior_ckpt_dir is not None:
+            sc.setCheckpointDir(prior_ckpt_dir)
         # mid-loop localCheckpoint blocks cannot be dropped via
         # DataFrame.unpersist (they are RDD-level persists, not
         # CacheManager entries); the ContextCleaner frees them when the
         # frames go out of scope here — same lifecycle as the returned
         # frame's blocks. Bounded: at most rounds/_CKPT_EVERY frames of
-        # one (id, label) row per pair-connected doc.
+        # one (id, label) row per pair-connected doc. RELIABLE
+        # checkpoint FILES under checkpoint_dir are NOT auto-deleted
+        # (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+        # false): the CALLER owns the dir's lifecycle — use a per-job
+        # subdirectory and remove it after consuming the result, or
+        # enable that conf session-wide.
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,9 +342,15 @@ def _q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # mkdtemp, not a fixed shared path: a predictable /tmp name races
+    # concurrent runs (one run's overwrite deletes files mid-scan of
+    # another) and collides across users on a shared host. The unique
+    # dir leaks until /tmp cleanup — the certification query trades
+    # that for isolation. The pipeline remains deterministic: only the
+    # location varies, never the store's content.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     store_dir = os.path.join(
-        tempfile.gettempdir(), f"octe_ivf_store_{sf_tag}"
+        tempfile.mkdtemp(prefix=f"octe_ivf_store_{sf_tag}_"), "store"
     )
     cents = ivf_write_partitioned(spark, sf_dir, store_dir)
     e = _emb(spark, sf_dir)

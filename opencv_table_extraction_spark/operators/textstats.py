@@ -172,7 +172,38 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 6) -> list[int]:
     return [int(x) for x in h[pos[keep]]]
 
 
+# winnow_fingerprint_batch working-set cap: the global arrays cost
+# ~32-44 bytes per concatenated character (utf-32 data + uint64 hashes +
+# window argmin columns), so an unbounded Arrow batch of large docs
+# would swap the old per-doc transient peak for a multi-GB per-batch
+# peak. 8M chars caps the kernel at ~350 MB per Python worker while
+# keeping batches large enough that the global-pass speedup holds.
+WINNOW_BATCH_MAX_CHARS = 8_000_000
+
+
 def winnow_fingerprint_batch(
+    texts, k: int = 8, window: int = 6
+) -> list[list[int]]:
+    """Char-bounded wrapper over the single-chunk kernel: splits the
+    batch into runs of <= WINNOW_BATCH_MAX_CHARS normalized characters
+    (never splitting inside a document) so the per-worker memory peak is
+    capped regardless of Arrow batch sizing."""
+    out: list[list[int]] = []
+    chunk: list = []
+    chars = 0
+    for t in texts:
+        n = len(t) if t else 0  # normalization only shrinks length
+        if chunk and chars + n > WINNOW_BATCH_MAX_CHARS:
+            out.extend(_winnow_chunk(chunk, k, window))
+            chunk, chars = [], 0
+        chunk.append(t)
+        chars += n
+    if chunk:
+        out.extend(_winnow_chunk(chunk, k, window))
+    return out
+
+
+def _winnow_chunk(
     texts, k: int = 8, window: int = 6
 ) -> list[list[int]]:
     """Cross-doc vectorized winnowing: ONE set of k Horner passes and

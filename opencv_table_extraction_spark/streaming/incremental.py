@@ -107,6 +107,26 @@ def windowed_event_counts(
     q.awaitTermination()
 
 
+def session_window_agg(df, gap: str = "30 minutes"):
+    """THE session-window aggregation (F.session_window + count/sum ->
+    formatted start/end) — one definition shared by the batch-certified
+    ``event_session_windows`` driver query, the streaming
+    ``session_event_counts`` job, and the streaming==batch test, so the
+    'same construct in both modes' contract cannot drift apart."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_event_counts(
     spark: SparkSession,
     source_dir: str,
@@ -130,19 +150,7 @@ def session_event_counts(
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
+    agg = session_window_agg(stream.withWatermark("ts", watermark), gap)
     q = (
         agg.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "data"))

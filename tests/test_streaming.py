@@ -175,8 +175,6 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     batch session aggregation of the same files row-for-row, and the
     first file's sessions must all have been emitted once the second
     file pushes the watermark past them."""
-    from pyspark.sql import functions as F
-
     from opencv_table_extraction_spark.streaming import session_event_counts
 
     src = tmp_path / "src"
@@ -198,19 +196,10 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     }
     assert got, "stream emitted no finalized sessions"
 
+    from opencv_table_extraction_spark.streaming import session_window_agg
+
     batch = {}
-    for r in (
-        spark.read.parquet(str(src))
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events", "sum_value")
-        .collect()
-    ):
+    for r in session_window_agg(spark.read.parquet(str(src)), "30 minutes").collect():
         batch[(r["user_id"], r["session_start"])] = (
             r["session_end"], r["n_events"], r["sum_value"])
 
