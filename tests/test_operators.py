@@ -615,3 +615,25 @@ def test_winnow_batch_equals_per_doc():
         assert winnow_fingerprint_batch(batch) == [
             winnow_fingerprint(t or "") for t in batch
         ]
+
+
+def test_connected_components_restores_prior_checkpoint_dir(spark, tmp_path):
+    """connected_components_pairs(checkpoint_dir=...) must not leak its
+    dir into the session: a prior checkpoint dir is restored on exit, so
+    later unrelated checkpoint() calls don't land in a directory the
+    caller may delete."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ckpt")
+    ours = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(prior)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
+    connected_components_pairs(pairs, checkpoint_dir=ours).collect()
+    got = sc.getCheckpointDir()
+    # getCheckpointDir returns the RESOLVED dir (Spark appends a UUID
+    # subdir per set); what matters is that future checkpoints land
+    # back under the caller's original tree, not under ours
+    assert got and "prior_ckpt" in got and "cc_ckpt" not in got, got
