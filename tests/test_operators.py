@@ -637,3 +637,54 @@ def test_connected_components_restores_prior_checkpoint_dir(spark, tmp_path):
     # subdir per set); what matters is that future checkpoints land
     # back under the caller's original tree, not under ours
     assert got and "prior_ckpt" in got and "cc_ckpt" not in got, got
+
+
+def test_connected_components_random_graphs(spark):
+    """Property test: on seeded random pair graphs (self-contained
+    clusters, chains, isolated pairs, dense blobs) the distributed
+    min-label propagation must equal a Python union-find — keepers AND
+    cluster sizes."""
+    import random
+
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for n in list(parent):
+            groups.setdefault(find(n), []).append(n)
+        out = {}
+        for root, members in groups.items():
+            keeper = min(members)
+            for m in members:
+                out[m] = (keeper, len(members))
+        return out
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(4, 40)
+        edges = set()
+        for _ in range(rng.randrange(2, 60)):
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if not edges:
+            edges = {(0, 1)}
+        pairs = spark.createDataFrame(sorted(edges), ["a_id", "b_id"])
+        got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+               for r in connected_components_pairs(pairs, max_iter=40).collect()}
+        assert got == union_find(edges), seed

