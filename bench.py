@@ -107,6 +107,12 @@ def main() -> None:
     # warmup: spin up executors + python workers once
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # total-time budget: best-of-N doubles wall time, and under a heavy
+    # co-tenant a full double run could blow a harness timeout — once
+    # the budget is spent, remaining queries degrade to one attempt
+    # (recorded per query in the gate metadata)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    bench_t0 = time.time()
     results: dict[str, float] = {}
     raw: dict[str, dict] = {}
     n_turns = 0
@@ -117,6 +123,8 @@ def main() -> None:
             t0 = time.time()
             n = fn()
             times.append(round(time.time() - t0, 3))
+            if time.time() - bench_t0 > budget_s:
+                break
         results[name] = min(times)  # best-of-N: bursts inflate, min survives
         raw[name] = {"times": times, "load1_at_start": loads}
         if name == "extract_full_pipeline":
