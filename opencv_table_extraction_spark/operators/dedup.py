@@ -456,15 +456,12 @@ def minhash_lsh_pairs(
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Pairs-only convenience wrapper over minhash_lsh_pairs_with_drops.
-
-    CAVEAT: the ``.dropped_buckets`` attribute lives on THIS returned
-    object only — any further transformation (.where/.select/.cache)
-    returns a NEW DataFrame without it. Callers that consume drops
-    should use the ``_with_drops`` form, which returns them explicitly."""
-    pairs, dropped = minhash_lsh_pairs_with_drops(
+    Drop telemetry has exactly ONE contract: the ``_with_drops`` form's
+    explicit second frame (certified by dedup_dropped_buckets) — this
+    wrapper is for callers that consciously ignore drops."""
+    pairs, _ = minhash_lsh_pairs_with_drops(
         corpus, n_bands=n_bands, threshold=threshold, max_bucket=max_bucket
     )
-    pairs.dropped_buckets = dropped  # lazy telemetry frame (lineage hook)
     return pairs
 
 
@@ -655,12 +652,11 @@ def jaccard_prefix_pairs_with_drops(
 def jaccard_prefix_pairs(
     corpus: DataFrame, threshold: float = 0.5, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
-    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
-    caveat — use the ``_with_drops`` form to consume drops."""
-    pairs, dropped = jaccard_prefix_pairs_with_drops(
+    """Pairs-only wrapper; drops are consciously ignored — use the
+    ``_with_drops`` form (the one telemetry contract) to consume them."""
+    pairs, _ = jaccard_prefix_pairs_with_drops(
         corpus, threshold=threshold, max_bucket=max_bucket
     )
-    pairs.dropped_buckets = dropped
     return pairs
 
 
@@ -705,6 +701,68 @@ FROM sh a JOIN sh b
  AND len(b.sh) >= CAST(ceil(0.5 * len(a.sh)) AS BIGINT)
 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+"""
+
+
+def pairs_crosscheck(corpus: DataFrame) -> DataFrame:
+    """Exact-recall cross-check of the two INDEPENDENT near-dup pair
+    generators — probabilistic minhash-LSH banding vs the exact PPJoin
+    prefix filter — on the same corpus at the same threshold (0.5).
+
+    Returns ONE row: (n_pairs_lsh, n_pairs_prefix, n_symmetric_diff,
+    n_dropped_lsh, n_dropped_prefix). When the symmetric difference and
+    both drop counts are zero, the probabilistic generator provably
+    found EXACTLY the exact generator's pair set — the strongest recall
+    evidence the repo has (previously prose in BENCH/BASELINE.md: 6,024
+    set-identical pairs at sf0.1), now a query that re-proves itself
+    every run. One action computes everything: a full-outer join on the
+    canonical (a_id, b_id) keys feeds the count/diff aggregates, and
+    the lazy drop frames reduce to counts (their banding subtrees are
+    keys-only — cheap relative to either verify stage). At sf0.01 the
+    DuckDB oracle recomputes the truth by brute force; at scales where
+    the quadratic oracle is infeasible the row is SELF-certifying
+    (tools/check_queries.py asserts diff == drops == 0 Spark-side)."""
+    lsh, d_lsh = minhash_lsh_pairs_with_drops(corpus)
+    pre, d_pre = jaccard_prefix_pairs_with_drops(corpus)
+    j = lsh.select("a_id", "b_id", F.lit(1).alias("in_lsh")).join(
+        pre.select("a_id", "b_id", F.lit(1).alias("in_prefix")),
+        ["a_id", "b_id"],
+        "full_outer",
+    )
+    sym = j.agg(
+        F.coalesce(F.sum("in_lsh"), F.lit(0)).cast("bigint").alias("n_pairs_lsh"),
+        F.coalesce(F.sum("in_prefix"), F.lit(0))
+        .cast("bigint")
+        .alias("n_pairs_prefix"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_lsh").isNull() | F.col("in_prefix").isNull()).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_symmetric_diff"),
+    )
+    da = d_lsh.agg(F.count("*").cast("bigint").alias("n_dropped_lsh"))
+    db = d_pre.agg(F.count("*").cast("bigint").alias("n_dropped_prefix"))
+    return sym.crossJoin(da).crossJoin(db)  # three 1-row frames
+
+
+def _q_pairs_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pairs_crosscheck(dedup_corpus(spark, sf_dir))
+
+
+# Planted truth: both generators must equal the brute-force pair count
+# (LSH by measured-zero misses on this corpus, prefix by theorem), with
+# zero symmetric difference and zero dropped buckets on either side.
+_SQL_CROSSCHECK = f"""
+WITH truth AS ({_SQL_MINHASH})
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_lsh,
+       CAST(count(*) AS BIGINT) AS n_pairs_prefix,
+       CAST(0 AS BIGINT) AS n_symmetric_diff,
+       CAST(0 AS BIGINT) AS n_dropped_lsh,
+       CAST(0 AS BIGINT) AS n_dropped_prefix
+FROM truth
 """
 
 
@@ -905,12 +963,11 @@ def simhash_candidate_pairs_with_drops(
 def simhash_candidate_pairs(
     corpus: DataFrame, n_chunks: int, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
-    """Candidates-only wrapper; see minhash_lsh_pairs for the attribute
-    caveat — use the ``_with_drops`` form to consume drops."""
-    cand, dropped = simhash_candidate_pairs_with_drops(
+    """Candidates-only wrapper; drops are consciously ignored — use the
+    ``_with_drops`` form (the one telemetry contract) to consume them."""
+    cand, _ = simhash_candidate_pairs_with_drops(
         corpus, n_chunks, max_bucket=max_bucket
     )
-    cand.dropped_buckets = dropped
     return cand
 
 
@@ -969,12 +1026,11 @@ def simhash_pairs(
     n_chunks: int = 15,
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
-    caveat — use the ``_with_drops`` form to consume drops."""
-    pairs, dropped = simhash_pairs_with_drops(
+    """Pairs-only wrapper; drops are consciously ignored — use the
+    ``_with_drops`` form (the one telemetry contract) to consume them."""
+    pairs, _ = simhash_pairs_with_drops(
         corpus, max_hamming=max_hamming, n_chunks=n_chunks, max_bucket=max_bucket
     )
-    pairs.dropped_buckets = dropped
     return pairs
 
 
@@ -1414,12 +1470,11 @@ def embedding_cosine_pairs(
     threshold: float = EMB_COS_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Pairs-only wrapper; see minhash_lsh_pairs for the attribute
-    caveat — use the ``_with_drops`` form to consume drops."""
-    pairs, dropped = embedding_cosine_pairs_with_drops(
+    """Pairs-only wrapper; drops are consciously ignored — use the
+    ``_with_drops`` form (the one telemetry contract) to consume them."""
+    pairs, _ = embedding_cosine_pairs_with_drops(
         corpus, threshold=threshold, max_bucket=max_bucket
     )
-    pairs.dropped_buckets = dropped
     return pairs
 
 
@@ -1492,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_jaccard_prefix_pairs": _q_jaccard_prefix,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_pairs_crosscheck": _q_pairs_crosscheck,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
@@ -1510,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         # equals the same brute-force all-pairs truth the LSH row uses
         "dedup_jaccard_prefix_pairs": _SQL_MINHASH,
         "dedup_minhash_lsh_pairs": _SQL_MINHASH,
+        "dedup_pairs_crosscheck": _SQL_CROSSCHECK,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,

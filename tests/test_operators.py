@@ -209,10 +209,10 @@ def test_hot_bucket_cap_drops_degenerate_family(spark):
     """One degenerate key family (N identical texts) must not reach pair
     enumeration: the count-first cap excludes its buckets BEFORE any
     collect_list materializes them, the job completes, and the drop is
-    surfaced on the result's .dropped_buckets frame (VERDICT r2 #2)."""
+    surfaced on the _with_drops form's dropped frame (VERDICT r2 #2)."""
     from opencv_table_extraction_spark.operators.dedup import (
-        jaccard_prefix_pairs,
-        minhash_lsh_pairs,
+        jaccard_prefix_pairs_with_drops,
+        minhash_lsh_pairs_with_drops,
     )
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
@@ -223,24 +223,24 @@ def test_hot_bucket_cap_drops_degenerate_family(spark):
     )
     corpus = base.unionByName(clones)
 
-    capped = minhash_lsh_pairs(corpus, max_bucket=10)
+    capped, cdrops = minhash_lsh_pairs_with_drops(corpus, max_bucket=10)
     pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
     # the clone family's buckets (31 ids each) were excluded wholesale
     assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in pairs)
-    drops = capped.dropped_buckets.collect()
+    drops = cdrops.collect()
     assert drops and all(r["n"] > 10 for r in drops)
 
     # under the default cap the same family enumerates normally
-    full = minhash_lsh_pairs(corpus)
+    full, fdrops = minhash_lsh_pairs_with_drops(corpus)
     full_pairs = {(r["a_id"], r["b_id"]) for r in full.collect()}
     assert (2_000_000, 2_000_001) in full_pairs
-    assert full.dropped_buckets.count() == 0
+    assert fdrops.count() == 0
 
     # prefix join: same contract (clone docs share every prefix shingle)
-    pcapped = jaccard_prefix_pairs(corpus, max_bucket=10)
+    pcapped, pdrops = jaccard_prefix_pairs_with_drops(corpus, max_bucket=10)
     ppairs = {(r["a_id"], r["b_id"]) for r in pcapped.collect()}
     assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in ppairs)
-    assert pcapped.dropped_buckets.count() > 0
+    assert pdrops.count() > 0
 
 
 def test_srp_bucket_cap_drops_degenerate_family(spark):
@@ -249,7 +249,7 @@ def test_srp_bucket_cap_drops_degenerate_family(spark):
     reported, never pair-expanded."""
     from opencv_table_extraction_spark.operators.dedup import (
         embedding_corpus,
-        embedding_cosine_pairs,
+        embedding_cosine_pairs_with_drops,
     )
 
     corpus = embedding_corpus(spark, SF).where(F.col("vec_id") < 30)
@@ -259,10 +259,10 @@ def test_srp_bucket_cap_drops_degenerate_family(spark):
         F.array(*[F.lit(float(x)) for x in v0]).alias("v"),
     )
     big = corpus.unionByName(clones)
-    capped = embedding_cosine_pairs(big, max_bucket=10)
+    capped, cdrops = embedding_cosine_pairs_with_drops(big, max_bucket=10)
     pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
     assert not any(a >= 2_000_000 and b >= 2_000_000 for a, b in pairs)
-    assert capped.dropped_buckets.count() > 0
+    assert cdrops.count() > 0
 
 
 def test_simhash_scale_banding_candidates_grow_linearly(spark):

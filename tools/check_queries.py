@@ -19,6 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _crosscheck_invariant(sdf: pd.DataFrame) -> list[str]:
+    """Self-certifying check for dedup_pairs_crosscheck at scales where
+    the brute-force DuckDB oracle is infeasible: the two INDEPENDENT
+    Spark generators (probabilistic LSH vs exact PPJoin) must agree
+    set-exactly with zero drops — that agreement IS the evidence, no
+    external truth needed (at sf0.01 the driver additionally hashes the
+    row against the quadratic oracle)."""
+    r = sdf.iloc[0]
+    errs = []
+    if r["n_symmetric_diff"] != 0:
+        errs.append(f"symmetric diff {r['n_symmetric_diff']} != 0")
+    if r["n_dropped_lsh"] != 0 or r["n_dropped_prefix"] != 0:
+        errs.append(
+            f"drops lsh={r['n_dropped_lsh']} prefix={r['n_dropped_prefix']}"
+        )
+    if r["n_pairs_lsh"] != r["n_pairs_prefix"] or r["n_pairs_lsh"] <= 0:
+        errs.append(
+            f"pair counts lsh={r['n_pairs_lsh']} prefix={r['n_pairs_prefix']}"
+        )
+    return errs
+
+
+# queries whose ORACLE is quadratic but whose Spark-side output carries
+# its own invariant: run with --invariant=<name> to certify Spark-side
+# when the oracle is out of reach (the sf0.1 sweep path)
+INVARIANT_CHECKS = {"dedup_pairs_crosscheck": _crosscheck_invariant}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Coerce to comparison-stable dtypes: every numeric-able column
     (ints, floats, Decimals-as-object) -> float64 rounded to 9 places;
@@ -42,11 +70,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # bare names = run only those; --skip name = run everything else
     # (e.g. excluding the guarded quadratic oracle modes at sf >= 0.1)
-    only = {a for a in sys.argv[2:] if not a.startswith("--skip=")}
+    only = {a for a in sys.argv[2:] if not a.startswith("--")}
     excluded = {
         n for a in sys.argv[2:] if a.startswith("--skip=")
         for n in a[len("--skip="):].split(",")
     }
+    invariant_only = {
+        n for a in sys.argv[2:] if a.startswith("--invariant=")
+        for n in a[len("--invariant="):].split(",")
+    }
+    unknown_inv = invariant_only - set(INVARIANT_CHECKS)
+    if unknown_inv:
+        raise SystemExit(f"--invariant has no registered check: {unknown_inv}")
 
     import __spark_entry__ as entrymod
     from opencv_table_extraction_spark.session import build_session
@@ -97,6 +132,17 @@ def main() -> int:
             failures.append(name)
             continue
         dt = time.time() - t0
+        if name in invariant_only:
+            errs = INVARIANT_CHECKS[name](sdf)
+            if errs:
+                print(f"FAIL  {name:32s} invariant: {'; '.join(errs)}")
+                failures.append(name)
+            else:
+                print(
+                    f"INVOK {name:32s} rows={len(sdf):6d} (self-certifying "
+                    f"invariant, oracle skipped) {dt:5.1f}s"
+                )
+            continue
         if name not in oracles:
             status = "ROWS" if len(sdf) > 0 else "EMPTY!"
             print(f"{status:5s} {name:32s} rows={len(sdf):6d} (no oracle) {dt:5.1f}s")
