@@ -1151,20 +1151,224 @@ GROUP BY doc_id
 """
 
 
-def connected_components_pairs(
-    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
-) -> DataFrame:
-    """Connected components over a near-dup pair graph by distributed
-    min-label propagation (the Pregel/GraphX "small-star" family,
-    public knowledge) — the operator that turns PAIRS into dedup
-    DECISIONS: every doc in a duplicate cluster maps to the cluster's
-    smallest doc_id (the deterministic keeper).
+def _set_ckpt_dir(sc, checkpoint_dir: str, context: str) -> str | None:
+    """Point the session at ``checkpoint_dir``, returning the prior dir
+    to restore (None if there was none — in which case ours REMAINS
+    after the call, Spark has no unset, and we warn: a later unrelated
+    checkpoint() on the shared session will land in a dir the caller
+    was told to delete)."""
+    prior = sc.getCheckpointDir()
+    if prior is None:
+        import warnings
 
-    Each node starts labeled with its own id; every round each node
-    takes the min of its label and its neighbors' labels; converged
-    when no label changes. Rounds needed = graph diameter — tiny for
-    dup clusters (near-dup families are dense), and ``max_iter`` bounds
-    pathology. Per round: one join + one agg, labels persisted and the
+        warnings.warn(
+            f"{context}: session had no checkpoint dir; {checkpoint_dir!r} "
+            "will remain the session checkpoint dir after this call (Spark "
+            "cannot unset it) — later unrelated checkpoint() calls will "
+            "write there, so do not delete it while the session is live, "
+            "or set your own dir first",
+            stacklevel=3,
+        )
+    sc.setCheckpointDir(checkpoint_dir)
+    return prior
+
+
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Eagerly cut a frame's lineage: reliable storage-backed checkpoint
+    (persist-first so the eager count and the checkpoint write share one
+    execution) when the session has a checkpoint dir, else
+    localCheckpoint (executor-resident blocks)."""
+    if reliable:
+        base = df.persist()
+        out = df.checkpoint(eager=True)
+        base.unpersist()
+        return out
+    return df.localCheckpoint(eager=True)
+
+
+def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
+    """One star operation of the alternating connected-components
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — public knowledge, reimplemented on DataFrames).
+
+    ``edges`` is canonical: a_id < b_id, distinct, no self-loops.
+    - large-star: every node u connects each STRICTLY LARGER neighbor
+      to m = min(N(u) ∪ {u});
+    - small-star: every node u connects each strictly smaller neighbor,
+      and itself, to the min of those smaller neighbors.
+    Both preserve connectivity exactly; alternating them converges to
+    a star forest rooted at each component's minimum in O(log n)
+    rounds. Each op is ONE groupBy exchange + one same-key join — the
+    aggregate reuses the join's hash exchange."""
+    if large:
+        d = edges.unionByName(
+            edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        mins = d.groupBy("a_id").agg(F.min("b_id").alias("mn"))
+        out = (
+            d.join(mins, "a_id")
+            .where(F.col("b_id") > F.col("a_id"))
+            .select(
+                F.col("b_id").alias("x"),
+                F.least("mn", "a_id").alias("y"),
+            )
+        )
+    else:
+        # orient u = max endpoint: u's smaller-neighbor list is exactly
+        # its canonical-edge partners, so min(smaller nbrs) = min(v)
+        d = edges.select(
+            F.col("b_id").alias("u"), F.col("a_id").alias("v")
+        )
+        withm = d.join(d.groupBy("u").agg(F.min("v").alias("mn")), "u")
+        out = withm.select(F.col("v").alias("x"), F.col("mn").alias("y")).unionByName(
+            withm.select(F.col("u").alias("x"), F.col("mn").alias("y"))
+        )
+    return (
+        out.select(
+            F.least("x", "y").alias("a_id"), F.greatest("x", "y").alias("b_id")
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .distinct()
+    )
+
+
+def _two_star_components(
+    pairs: DataFrame,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    round_counter: list | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    LONG-CHAIN scale mode: min-label propagation needs diameter rounds
+    (a 1,000-link drifting near-dup chain = ~1,000 joins at 100 TB),
+    this converges in O(log diameter) rounds (round count asserted by
+    test on a 1,024-node path). Same output contract as the min-label
+    mode: (doc_id, keeper_id, cluster_size).
+
+    Convergence = the canonical edge set reaches a fixed point of one
+    full (large, small) round, detected by a collision-resistant
+    signature (count + bit_xor(xxhash64(a, b)) — xor cannot overflow
+    under ANSI mode and is order-insensitive over the distinct set); the
+    result is then PROVEN consistent, not assumed: every original pair
+    must connect two nodes with equal labels (one O(E) join), so a
+    signature collision cannot emit a silently-split cluster."""
+    sc = pairs.sparkSession.sparkContext
+    prior_ckpt_dir = None
+    if checkpoint_dir is not None:
+        prior_ckpt_dir = _set_ckpt_dir(
+            sc, checkpoint_dir, "connected_components_pairs(mode='twostar')"
+        )
+    reliable = checkpoint_dir is not None
+    edges0 = (
+        pairs.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .distinct()
+        .persist()
+    )
+    try:
+        edges = edges0
+        prev_sig = None
+        rounds = 0
+        for _ in range(max_iter):
+            nxt = _star_edges(_star_edges(edges, large=True), large=False)
+            # truncate every round: each star op references its input
+            # 2-3x, so the logical plan would grow ~6x per round; the
+            # eager cut doubles as materialization for the signature agg
+            nxt = _truncate_lineage(nxt, reliable)
+            rounds += 1
+            sig = tuple(
+                nxt.agg(
+                    F.count("*"), F.bit_xor(F.xxhash64("a_id", "b_id"))
+                ).collect()[0]
+            )
+            edges = nxt
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components_pairs(mode='twostar'): not converged "
+                f"after {max_iter} rounds — O(log n) convergence makes this "
+                "a bug or an absurd graph; raise max_iter"
+            )
+        if round_counter is not None:
+            round_counter.append(rounds)
+        # converged star forest: every canonical edge is (root, child)
+        # with root = component min; label roots with themselves
+        labels = edges.select(
+            F.col("b_id").alias("id"), F.col("a_id").alias("label")
+        ).unionByName(
+            edges.select(F.col("a_id").alias("id"), F.col("a_id").alias("label"))
+        ).distinct()
+        # a node can appear only if some star edge touches it; original
+        # nodes form components of size >= 2, so all must be present AND
+        # consistent — prove it against the ORIGINAL edges
+        bad = (
+            edges0.join(
+                labels.select(F.col("id").alias("a_id"), F.col("label").alias("la")),
+                "a_id",
+                "left",
+            )
+            .join(
+                labels.select(F.col("id").alias("b_id"), F.col("label").alias("lb")),
+                "b_id",
+                "left",
+            )
+            .where(
+                F.col("la").isNull()
+                | F.col("lb").isNull()
+                | (F.col("la") != F.col("lb"))
+            )
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"connected_components_pairs(mode='twostar'): {bad} original "
+                "pairs violate label consistency — convergence signature "
+                "collision or star invariant broken"
+            )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        out = labels.join(sizes, "label").select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("keeper_id"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+        )
+        return _truncate_lineage(out, reliable)
+    finally:
+        edges0.unpersist()
+        if prior_ckpt_dir is not None:
+            sc.setCheckpointDir(prior_ckpt_dir)
+
+
+def connected_components_pairs(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    mode: str = "minlabel",
+    round_counter: list | None = None,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the operator
+    that turns PAIRS into dedup DECISIONS: every doc in a duplicate
+    cluster maps to the cluster's smallest doc_id (the deterministic
+    keeper). Two modes behind one API:
+
+    - ``mode="minlabel"`` (default, the ORACLE mode — mirrored exactly
+      by the DuckDB recursive-CTE closure): distributed min-label
+      propagation. Each node starts labeled with its own id; every
+      round each node takes the min of its label and its neighbors'
+      labels; converged when no label changes. Rounds needed = graph
+      diameter — tiny for dup clusters (near-dup families are dense),
+      and ``max_iter`` bounds pathology.
+    - ``mode="twostar"`` (the LONG-CHAIN scale mode): alternating
+      large-star/small-star contraction (Kiveris et al., SoCC 2014),
+      O(log diameter) rounds — see _two_star_components. Same output,
+      property-tested equal to minlabel and to a union-find.
+
+    ``round_counter``: optional list; the number of propagation rounds
+    actually used is appended (tests assert the O(log n) bound). Per round: one join + one agg, labels persisted and the
     previous round unpersisted, so lineage stays flat and the working
     set is one (id, label) frame — at 100 TB that frame holds only docs
     that appear in some pair, orders of magnitude smaller than the
@@ -1190,16 +1394,20 @@ def connected_components_pairs(
 
     Returns (doc_id, keeper_id, cluster_size).
     """
+    if mode == "twostar":
+        return _two_star_components(pairs, max_iter, checkpoint_dir, round_counter)
+    if mode != "minlabel":
+        raise ValueError(f"unknown mode {mode!r}: use 'minlabel' or 'twostar'")
     sc = pairs.sparkSession.sparkContext
     prior_ckpt_dir = None
     if checkpoint_dir is not None:
         # setCheckpointDir is SESSION-GLOBAL state: remember any prior
         # dir and restore it on exit so an unrelated frame's later
         # checkpoint() doesn't silently land in (possibly disposable)
-        # checkpoint_dir. If no prior dir was set, ours remains — Spark
-        # has no unset — which the docstring calls out.
-        prior_ckpt_dir = sc.getCheckpointDir()
-        sc.setCheckpointDir(checkpoint_dir)
+        # checkpoint_dir; warns when there is no prior dir to restore.
+        prior_ckpt_dir = _set_ckpt_dir(
+            sc, checkpoint_dir, "connected_components_pairs"
+        )
     _CKPT_EVERY = 5  # rounds between lineage truncations (plan <= 2^5 x base)
     e = pairs.select("a_id", "b_id")
     edges = e.unionByName(
@@ -1270,8 +1478,11 @@ def connected_components_pairs(
             raise RuntimeError(
                 f"connected_components_pairs: not converged after "
                 f"{max_iter} rounds ({changed} labels still changing) — "
-                "raise max_iter (rounds needed = pair-graph diameter)"
+                "raise max_iter (rounds needed = pair-graph diameter), or "
+                "use mode='twostar' (O(log diameter) rounds)"
             )
+        if round_counter is not None:
+            round_counter.append(round_idx + 1)
         sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
         out = (
             labels.join(sizes, "label")

@@ -685,6 +685,61 @@ def test_connected_components_random_graphs(spark):
         if not edges:
             edges = {(0, 1)}
         pairs = spark.createDataFrame(sorted(edges), ["a_id", "b_id"])
-        got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
-               for r in connected_components_pairs(pairs, max_iter=40).collect()}
-        assert got == union_find(edges), seed
+        want = union_find(edges)
+        for mode in ("minlabel", "twostar"):
+            got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+                   for r in connected_components_pairs(
+                       pairs, max_iter=40, mode=mode).collect()}
+            assert got == want, (seed, mode)
+
+
+def test_two_star_components_logarithmic_on_long_chain(spark):
+    """The twostar mode is THE long-chain scale path: a 1,024-node path
+    graph (diameter 1,023 — min-label propagation would need ~1,023
+    rounds) must converge in O(log diameter) rounds with the correct
+    single cluster. Measured 11 rounds (~log2(1024)); assert <= 14 so
+    the bound fails loudly if the alternation ever degrades toward
+    linear."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1023)], ["a_id", "b_id"]
+    )
+    rounds: list[int] = []
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+           for r in connected_components_pairs(
+               chain, max_iter=25, mode="twostar", round_counter=rounds
+           ).collect()}
+    assert len(got) == 1024
+    assert all(v == (0, 1024) for v in got.values())
+    assert rounds and rounds[0] <= 14, rounds
+
+
+def test_components_checkpoint_dir_warns_without_prior(spark, tmp_path):
+    """When the session has NO prior checkpoint dir, passing
+    checkpoint_dir= must warn that ours remains session-global after
+    the call (Spark cannot unset it) — callers on shared sessions need
+    to know later reliable checkpoints land in the dir they own. With a
+    prior dir set, no warning (it is restored instead)."""
+    import warnings
+
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.warns(UserWarning, match="checkpoint dir"):
+            connected_components_pairs(
+                pairs, checkpoint_dir=str(tmp_path / "ck1")
+            ).collect()
+    # now a dir IS set (either pre-existing or left by the call above):
+    # the restore path must stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        connected_components_pairs(
+            pairs, checkpoint_dir=str(tmp_path / "ck2")
+        ).collect()
