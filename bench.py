@@ -58,7 +58,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
     return {
         "extract_full_pipeline": q_extract_full,
         "extract_order_tables": mk("extract_order_tables"),
+        # the spans-explode certification path (kernel -> per-cell rows)
+        "extract_order_cells": mk("extract_order_cells"),
         "dedup_minhash_lsh_pairs": mk("dedup_minhash_lsh_pairs"),
+        # pairs -> decisions: the iterative keeper-assignment loop
+        "dedup_components": mk("dedup_components"),
         "dedup_jaccard_prefix_pairs": mk("dedup_jaccard_prefix_pairs"),
         "dedup_simhash_pairs_scale": mk("dedup_simhash_pairs_scale"),
         "dedup_exact": mk("dedup_exact"),
@@ -112,21 +116,45 @@ def main() -> None:
     # the budget is spent, remaining queries degrade to one attempt
     # (recorded per query in the gate metadata)
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    # Per-ATTEMPT ambient gate (r4 verdict #5): the session-start gate
+    # released quiet but the co-tenant returned mid-run (recorded load1
+    # 9-14 on later queries). Before each attempt, wait bounded for
+    # load1 <= qgate. Caveat: between queries load1 also carries OUR own
+    # decaying contribution (1-min time constant), so a strict threshold
+    # after a heavy query stalls even on an idle host — hence the waits
+    # are budget-capped (at most qgate_budget_frac of the total budget,
+    # spread over attempts) and every attempt records the wait spent and
+    # the load at release, so a number can be audited either way.
+    qgate = float(os.environ.get("SPARK_GRAFT_BENCH_QGATE", "2.0"))
+    qgate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QGATE_WAIT", "90"))
+    qgate_budget = budget_s * float(
+        os.environ.get("SPARK_GRAFT_BENCH_QGATE_BUDGET_FRAC", "0.4")
+    )
     bench_t0 = time.time()
+    gating_spent = 0.0
     results: dict[str, float] = {}
     raw: dict[str, dict] = {}
     n_turns = 0
     for name, fn in bench_queries(spark, sf_dir).items():
-        times, loads = [], []
+        times, loads, gwaits = [], [], []
         for _ in range(attempts):
-            loads.append(round(os.getloadavg()[0], 2))
+            g0 = time.time()
+            allowed = min(qgate_wait, max(0.0, qgate_budget - gating_spent))
+            load = wait_for_ambient_quiet(qgate, allowed)
+            gwaits.append(round(time.time() - g0, 1))
+            gating_spent += time.time() - g0
+            loads.append(round(load, 2))
             t0 = time.time()
             n = fn()
             times.append(round(time.time() - t0, 3))
             if time.time() - bench_t0 > budget_s:
                 break
         results[name] = min(times)  # best-of-N: bursts inflate, min survives
-        raw[name] = {"times": times, "load1_at_start": loads}
+        raw[name] = {
+            "times": times,
+            "load1_at_start": loads,
+            "gate_wait_s": gwaits,
+        }
         if name == "extract_full_pipeline":
             n_turns = n
     total = round(sum(results.values()), 3)
@@ -149,6 +177,12 @@ def main() -> None:
                     "max_load": gate_max,
                     "release_load": round(release_load, 2),
                     "attempts": attempts,
+                    "per_attempt_gate": {
+                        "max_load": qgate,
+                        "max_wait_s": qgate_wait,
+                        "budget_s": round(qgate_budget, 1),
+                        "spent_s": round(gating_spent, 1),
+                    },
                     "per_query": raw,
                 },
             }
