@@ -420,11 +420,13 @@ def _q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (F.window — the same
     construct a streaming job uses with a watermark; here certified in
     batch against DuckDB time_bucket)."""
+    from opencv_table_extraction_spark.streaming import sum_value_cents
+
     e = _read(spark, sf_dir, "events")
     w = F.window("ts", "1 hour")
     return (
         e.groupBy(w.alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), sum_value_cents())
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -436,7 +438,8 @@ def _q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TUMBLING = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS cnt,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -682,7 +685,7 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM s GROUP BY user_id, sid
 """
 

@@ -340,18 +340,19 @@ def _q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal k-means, tie-broken argmax, fixed corpus), anchored to
     sf0.01 like _SQL_IVF_RECALL; check_queries skips it elsewhere."""
     import os
+    import shutil
     import tempfile
 
     # mkdtemp, not a fixed shared path: a predictable /tmp name races
     # concurrent runs (one run's overwrite deletes files mid-scan of
-    # another) and collides across users on a shared host. The unique
-    # dir leaks until /tmp cleanup — the certification query trades
-    # that for isolation. The pipeline remains deterministic: only the
-    # location varies, never the store's content.
+    # another) and collides across users on a shared host. The dir is
+    # removed below once the 1-row result is materialized (the result
+    # is collected eagerly precisely so the returned frame holds no
+    # lazy scan over the deleted store). The pipeline remains
+    # deterministic: only the location varies, never the store content.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    store_dir = os.path.join(
-        tempfile.mkdtemp(prefix=f"octe_ivf_store_{sf_tag}_"), "store"
-    )
+    tmp_root = tempfile.mkdtemp(prefix=f"octe_ivf_store_{sf_tag}_")
+    store_dir = os.path.join(tmp_root, "store")
     cents = ivf_write_partitioned(spark, sf_dir, store_dir)
     e = _emb(spark, sf_dir)
     q = [
@@ -362,21 +363,33 @@ def _q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, store_dir, cents, q, exclude_vec_id=QUERY_VEC_ID
     ).select("vec_id", "cos")
     direct = ivf_search(spark, sf_dir).select("vec_id", "cos")
-    n_store = store.count()
-    n_common = store.intersect(direct).count()  # both are K-row frames
-    return store.agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("vec_id")), lambda x: x.cast("string")
-            ),
-            ",",
-        ).alias("found_ids_csv")
-    ).select(
-        F.lit(TOP_K).alias("k"),
-        F.lit(int(n_store)).alias("n_store"),
-        F.lit(int(n_common)).alias("n_common"),
-        F.lit(int(n_store == n_common == TOP_K)).alias("store_equals_direct"),
-        "found_ids_csv",
+    try:
+        n_store = store.count()
+        n_common = store.intersect(direct).count()  # both are K-row frames
+        csv = store.agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("found_ids_csv")
+        ).collect()[0]["found_ids_csv"]
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(TOP_K, int(n_store), int(n_common),
+          int(n_store == n_common == TOP_K), csv)],
+        StructType(
+            [
+                StructField("k", IntegerType()),
+                StructField("n_store", IntegerType()),
+                StructField("n_common", IntegerType()),
+                StructField("store_equals_direct", IntegerType()),
+                StructField("found_ids_csv", StringType()),
+            ]
+        ),
     )
 
 

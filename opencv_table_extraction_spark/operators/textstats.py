@@ -185,28 +185,33 @@ def winnow_fingerprint_batch(
     texts, k: int = 8, window: int = 6
 ) -> list[list[int]]:
     """Char-bounded wrapper over the single-chunk kernel: splits the
-    batch into runs of <= WINNOW_BATCH_MAX_CHARS normalized characters
+    batch into runs of <= WINNOW_BATCH_MAX_CHARS NORMALIZED characters
     (never splitting inside a document) so the per-worker memory peak is
-    capped regardless of Arrow batch sizing."""
+    capped regardless of Arrow batch sizing. Normalization happens HERE,
+    once, and its true post-normalization length feeds the cap —
+    str.lower() can EXPAND code-point count (e.g. 'İ'.lower() is 2
+    chars), so measuring the raw length would make the bound soft."""
     out: list[list[int]] = []
-    chunk: list = []
+    chunk: list[str] = []
     chars = 0
     for t in texts:
-        n = len(t) if t else 0  # normalization only shrinks length
-        if chunk and chars + n > WINNOW_BATCH_MAX_CHARS:
+        s = " ".join((t or "").lower().split())
+        if chunk and chars + len(s) > WINNOW_BATCH_MAX_CHARS:
             out.extend(_winnow_chunk(chunk, k, window))
             chunk, chars = [], 0
-        chunk.append(t)
-        chars += n
+        chunk.append(s)
+        chars += len(s)
     if chunk:
         out.extend(_winnow_chunk(chunk, k, window))
     return out
 
 
 def _winnow_chunk(
-    texts, k: int = 8, window: int = 6
+    norm, k: int = 8, window: int = 6
 ) -> list[list[int]]:
-    """Cross-doc vectorized winnowing: ONE set of k Horner passes and
+    """Cross-doc vectorized winnowing over PRE-NORMALIZED texts (the
+    batch wrapper lowercases/space-folds once and caps on the true
+    normalized length): ONE set of k Horner passes and
     ONE sliding-window argmin over the whole batch's concatenated
     code-point array, instead of per-document NumPy calls (the per-doc
     fixed overhead — array alloc, k tiny passes, window view — dominates
@@ -219,7 +224,6 @@ def _winnow_chunk(
     only, and only windows fully inside that range are consulted."""
     import numpy as np
 
-    norm = [" ".join((t or "").lower().split()) for t in texts]
     lens = np.array([len(s) for s in norm], dtype=np.int64)
     offs = np.zeros(len(norm) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])

@@ -57,6 +57,22 @@ EVENT_SCHEMA = StructType(
 )
 
 
+def sum_value_cents(col: str = "value"):
+    """Order-independent EXACT sum of a 2-decimal-quantized double
+    column: sum integer cents, divide once. round(sum(x), 2) is the
+    flake class event_olympic_mean already fixed — a double sum's last
+    ulp depends on summation order (Spark partial-agg trees vs DuckDB
+    sequential), so a window/session sum landing on a .xx5 boundary can
+    flip the rounded value between engines; summing cents makes both
+    divide the identical exact integer. Shared by the batch tumbling
+    query, the batch+streaming session aggregation, and the streaming
+    tumbling job (oracle mirror: sum(CAST(round(value*100) AS BIGINT))
+    / 100.0)."""
+    return (F.sum(F.round(F.col(col) * 100).cast("long")) / 100.0).alias(
+        "sum_value"
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     source_dir: str,
@@ -87,8 +103,7 @@ def windowed_event_counts(
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), sum_value_cents())
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -115,8 +130,7 @@ def session_window_agg(df, gap: str = "30 minutes"):
     'same construct in both modes' contract cannot drift apart."""
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), sum_value_cents())
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

@@ -12,6 +12,7 @@ from opencv_table_extraction_spark.fixtures.gen import gen_tables
 from opencv_table_extraction_spark.streaming import (
     assemble_conversations,
     run_incremental,
+    sum_value_cents,
     windowed_event_counts,
 )
 
@@ -89,8 +90,7 @@ def test_watermarked_window_agg_matches_batch(spark, tmp_path):
         for r in (
             spark.read.parquet(str(src))
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("cnt"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .agg(F.count("*").alias("cnt"), sum_value_cents())
             .select(
                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
                     "window_start"),
