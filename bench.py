@@ -90,6 +90,74 @@ def wait_for_ambient_quiet(max_load: float, timeout_s: int) -> float:
         time.sleep(5)
 
 
+def _subtree_jiffies() -> int:
+    """utime+stime jiffies summed over THIS process's subtree (the
+    bench driver, the Spark JVM it spawned, and the JVM's python
+    workers) via one /proc walk."""
+    import glob
+
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    times: dict[int, int] = {}
+    for st in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(st) as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        try:
+            pid = int(s[: s.index(" ")])
+            rest = s[s.rindex(")") + 2 :].split()
+            ppid[pid] = int(rest[1])
+            times[pid] = int(rest[11]) + int(rest[12])
+        except (ValueError, IndexError):
+            continue
+    total = 0
+    for pid, t in times.items():
+        p, seen = pid, set()
+        while p > 1 and p not in seen:
+            if p == me:
+                total += t
+                break
+            seen.add(p)
+            p = ppid.get(p, 0)
+    return total
+
+
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:9]]
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def cotenant_cpus(sample_s: float = 0.5) -> float:
+    """CURRENT co-tenant CPU use in cores: total non-idle CPU minus our
+    own process subtree, over a short sample. Unlike 1-min loadavg this
+    carries no decaying memory of OUR last query, so gating on it stalls
+    only when someone else is actually burning CPU right now. (A subtree
+    process exiting mid-sample undercounts 'ours' and overestimates the
+    co-tenant — conservative: we wait when unsure.)"""
+    b0, m0 = _total_busy_jiffies(), _subtree_jiffies()
+    t0 = time.time()
+    time.sleep(sample_s)
+    dt = max(time.time() - t0, 1e-3)
+    hz = os.sysconf("SC_CLK_TCK")
+    total = (_total_busy_jiffies() - b0) / hz / dt
+    mine = (_subtree_jiffies() - m0) / hz / dt
+    return max(0.0, total - mine)
+
+
+def wait_for_cotenant_quiet(max_cpus: float, timeout_s: float) -> float:
+    """Block until co-tenant CPU <= max_cpus cores (or timeout); returns
+    the last measurement. Each probe costs its 0.5 s sample."""
+    t0 = time.time()
+    while True:
+        cot = cotenant_cpus()
+        if cot <= max_cpus or time.time() - t0 > timeout_s:
+            return cot
+        time.sleep(4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,13 +186,13 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     # Per-ATTEMPT ambient gate (r4 verdict #5): the session-start gate
     # released quiet but the co-tenant returned mid-run (recorded load1
-    # 9-14 on later queries). Before each attempt, wait bounded for
-    # load1 <= qgate. Caveat: between queries load1 also carries OUR own
-    # decaying contribution (1-min time constant), so a strict threshold
-    # after a heavy query stalls even on an idle host — hence the waits
-    # are budget-capped (at most qgate_budget_frac of the total budget,
-    # spread over attempts) and every attempt records the wait spent and
-    # the load at release, so a number can be audited either way.
+    # 9-14 on later queries). Before each attempt, wait bounded for the
+    # CO-TENANT's measured CPU (not loadavg — load1 carries ~1 min of
+    # OUR OWN decay after each heavy query, which burned the whole gate
+    # budget on an idle host in the first r5 run) to fall under qgate
+    # cores. Waits stay budget-capped (qgate_budget_frac of the total)
+    # and every attempt records wait spent + co-tenant cores + load1 at
+    # release, so a number can be audited either way.
     qgate = float(os.environ.get("SPARK_GRAFT_BENCH_QGATE", "2.0"))
     qgate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QGATE_WAIT", "90"))
     qgate_budget = budget_s * float(
@@ -136,14 +204,15 @@ def main() -> None:
     raw: dict[str, dict] = {}
     n_turns = 0
     for name, fn in bench_queries(spark, sf_dir).items():
-        times, loads, gwaits = [], [], []
+        times, loads, cots, gwaits = [], [], [], []
         for _ in range(attempts):
             g0 = time.time()
             allowed = min(qgate_wait, max(0.0, qgate_budget - gating_spent))
-            load = wait_for_ambient_quiet(qgate, allowed)
+            cot = wait_for_cotenant_quiet(qgate, allowed)
             gwaits.append(round(time.time() - g0, 1))
             gating_spent += time.time() - g0
-            loads.append(round(load, 2))
+            cots.append(round(cot, 2))
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
             n = fn()
             times.append(round(time.time() - t0, 3))
@@ -153,6 +222,7 @@ def main() -> None:
         raw[name] = {
             "times": times,
             "load1_at_start": loads,
+            "cotenant_cpus_at_start": cots,
             "gate_wait_s": gwaits,
         }
         if name == "extract_full_pipeline":
@@ -178,7 +248,7 @@ def main() -> None:
                     "release_load": round(release_load, 2),
                     "attempts": attempts,
                     "per_attempt_gate": {
-                        "max_load": qgate,
+                        "max_cotenant_cpus": qgate,
                         "max_wait_s": qgate_wait,
                         "budget_s": round(qgate_budget, 1),
                         "spent_s": round(gating_spent, 1),
