@@ -1374,17 +1374,21 @@ def connected_components_pairs(
     that appear in some pair, orders of magnitude smaller than the
     corpus.
 
-    Lineage truncation is NOT optional here: each round's frame
-    references the previous one twice (directly and through the
-    neighbor-min join), so the LOGICAL plan doubles per round —
-    ``persist`` alone caches data but keeps the plan, and by ~15 rounds
-    plan analysis itself OOMs the driver (observed at sf0.1). Every
-    ``_CKPT_EVERY`` rounds the label frame is therefore checkpointed:
-    reliably into ``checkpoint_dir`` when set (an HDFS/object-store
-    path on a real cluster — survives executor loss, the long-chain
-    production shape), else ``localCheckpoint`` (executor-resident
-    blocks). Between truncations the plan grows at most 2^_CKPT_EVERY
-    over a truncated base. Caller contract for ``checkpoint_dir``: the
+    Lineage truncation is NOT optional here, and it runs EVERY round:
+    each round's frame references the previous one twice (directly and
+    through the neighbor-min join), so the LOGICAL plan doubles per
+    round — ``persist`` alone caches data but keeps the plan, and the
+    driver pays Catalyst analysis/optimization EXPONENTIAL in the
+    rounds since the last truncation even though execution reads the
+    cache (measured at sf0.1: rounds 0.5-0.7 s right after a
+    truncation, 27-47 s four rounds later; truncating every round cut
+    the 19-round loop 245 s -> 12.9 s, and pre-truncation r4 the
+    analysis itself OOM'd the driver by ~15 rounds). The per-round
+    eager cut is cheap because the label frame is small (one row per
+    pair-connected doc). Truncation is a reliable ``checkpoint`` into
+    ``checkpoint_dir`` when set (an HDFS/object-store path on a real
+    cluster — survives executor loss), else ``localCheckpoint``
+    (executor-resident blocks). Caller contract for ``checkpoint_dir``: the
     files written there are NOT auto-deleted (Spark only removes
     reliable checkpoints when spark.cleaner.referenceTracking.
     cleanCheckpoints is enabled) — pass a per-job directory and delete
@@ -1408,7 +1412,10 @@ def connected_components_pairs(
         prior_ckpt_dir = _set_ckpt_dir(
             sc, checkpoint_dir, "connected_components_pairs"
         )
-    _CKPT_EVERY = 5  # rounds between lineage truncations (plan <= 2^5 x base)
+    _CKPT_EVERY = 1  # truncate EVERY round: Catalyst analysis cost is
+    # exponential in rounds-since-truncation (see docstring); the eager
+    # cut on the small label frame costs ~0.1 s, the skipped analysis
+    # tens of seconds
     e = pairs.select("a_id", "b_id")
     edges = e.unionByName(
         e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))

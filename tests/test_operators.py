@@ -477,19 +477,22 @@ def test_connected_components_multi_hop_chain(spark):
         ["a_id", "b_id"],
     )
     n_cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    rounds: list[int] = []
     got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
-           for r in connected_components_pairs(pairs).collect()}
+           for r in connected_components_pairs(
+               pairs, round_counter=rounds).collect()}
     assert {d: got[d] for d in (10, 11, 12, 13, 14)} == {
         d: (10, 5) for d in (10, 11, 12, 13, 14)}
     assert got[20] == (20, 2) and got[21] == (20, 2)
     assert all(got[d] == (30, 3) for d in (30, 31, 32))
     # the loop's per-round persists are all released; what may remain:
-    # the returned frame's localCheckpoint blocks plus at most
-    # rounds/_CKPT_EVERY mid-loop truncation frames (RDD-level persists
-    # the ContextCleaner frees on GC — DataFrame.unpersist cannot)
+    # the returned frame's localCheckpoint blocks plus the per-round
+    # truncation frames (one per round — RDD-level persists the
+    # ContextCleaner frees on GC; DataFrame.unpersist cannot), bounded
+    # by the round count the counter reports
     n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached_after - n_cached_before <= 2, (n_cached_before,
-                                                   n_cached_after)
+    assert n_cached_after - n_cached_before <= rounds[0] + 1, (
+        n_cached_before, n_cached_after, rounds)
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
