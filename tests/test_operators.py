@@ -696,6 +696,31 @@ def test_connected_components_random_graphs(spark):
             assert got == want, (seed, mode)
 
 
+def test_pairs_crosscheck_agrees_and_reports_drops(spark):
+    """The certified recall cross-check: on a corpus with planted
+    near-dups, the probabilistic LSH and the exact prefix join must
+    produce identical pair sets with zero drops — and the returned
+    one-row frame must say exactly that (the invariant the sf0.1 sweep
+    certifies via check_queries --invariant)."""
+    from opencv_table_extraction_spark.operators.dedup import pairs_crosscheck
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.floor(F.size(toks) * 0.9).cast("int")), " "
+    )
+    near = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    trunc.alias("text"))
+    r = pairs_crosscheck(d.unionByName(near)).collect()[0]
+    assert r["n_symmetric_diff"] == 0
+    assert r["n_dropped_lsh"] == 0 and r["n_dropped_prefix"] == 0
+    assert r["n_pairs_lsh"] == r["n_pairs_prefix"] >= 80  # planted dups found
+
+
 def test_two_star_components_logarithmic_on_long_chain(spark):
     """The twostar mode is THE long-chain scale path: a 1,024-node path
     graph (diameter 1,023 — min-label propagation would need ~1,023
