@@ -793,7 +793,15 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
 # anti/equi/broadcast/as-of rows), event_sliding_counts (windows keep
 # tumbling + session + native-session rows), top_bigrams (text keeps
 # seven certified rows). tools/check_queries.py still verifies all 53.
-_TAIL_IF_CAPPED = ["semi_join_f_customers", "event_sliding_counts", "top_bigrams"]
+_TAIL_IF_CAPPED = [
+    "semi_join_f_customers",
+    "event_sliding_counts",
+    "top_bigrams",
+    # r5: dedup_apply joined the head, displacing one more redundant row
+    # (aggregation family keeps pricing_summary / segment_revenue /
+    # part_type_revenue / lineage_totals)
+    "region_nations",
+]
 
 
 def _reorder_tail(d: dict) -> dict:

@@ -1543,7 +1543,7 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_pairs(pairs, mode="twostar")
 
 
-_SQL_COMPONENTS = f"""
+_SQL_COMP_CTES = f"""
 WITH RECURSIVE
 corpus AS MATERIALIZED ({_SQL_CORPUS}),
 s AS MATERIALIZED (SELECT doc_id, {_SIMHASH_SQL.format(c="text")} AS sh FROM corpus),
@@ -1562,9 +1562,43 @@ reach(id, r) AS (
   UNION
   SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
 comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+"""
+
+_SQL_COMPONENTS = _SQL_COMP_CTES + """
 SELECT id AS doc_id, keeper AS keeper_id,
        CAST(count(*) OVER (PARTITION BY keeper) AS INT) AS cluster_size
 FROM comp
+"""
+
+
+def dedup_apply(corpus: DataFrame, decisions: DataFrame) -> DataFrame:
+    """Apply dedup DECISIONS to the corpus — the pipeline's end product:
+    keep every doc that is its cluster's keeper (or is in no cluster),
+    drop the rest.
+
+    100-TB shape: ``decisions`` holds one row per PAIR-CONNECTED doc —
+    orders of magnitude smaller than the corpus — so the non-keeper id
+    list BROADCASTS and the corpus side anti-joins with ZERO shuffle
+    (plan-tested: BroadcastHashJoin LeftAnti, no Exchange on the
+    streamed side). The 10^12-row table is filtered in place, exactly
+    like dedup_decontaminate's eval-gram join."""
+    drop = decisions.where(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+    return corpus.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pairs -> decisions -> DEDUPED CORPUS: simhash scale
+    banding, two-star components, broadcast anti-join keep-filter. The
+    oracle replays the same transitive closure in DuckDB and keeps
+    non-dropped doc_ids."""
+    corpus = dedup_corpus(spark, sf_dir)
+    decisions = _q_dedup_components(spark, sf_dir)
+    return dedup_apply(corpus, decisions).select("doc_id")
+
+
+_SQL_APPLY = _SQL_COMP_CTES + """
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != keeper)
 """
 
 
@@ -1775,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
         "dedup_components": _q_dedup_components,
+        "dedup_apply": _q_dedup_apply,
         "dedup_decontaminate": _q_decontaminate,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "dedup_dropped_buckets": _q_dropped_buckets,
@@ -1794,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,
         "dedup_components": _SQL_COMPONENTS,
+        "dedup_apply": _SQL_APPLY,
         "dedup_decontaminate": _SQL_DECONTAM,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
         "dedup_dropped_buckets": _SQL_DROPPED,

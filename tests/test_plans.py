@@ -162,3 +162,29 @@ def test_entry_contract_shapes(spark):
     df = em.entry(spark)
     assert df.count() > 0
     assert "extracted_text" in df.columns and "conv_id" in df.columns
+
+
+def test_dedup_apply_corpus_side_never_shuffles(spark):
+    """dedup_apply is the 10^12-row keep-filter: the drop list must
+    BROADCAST (BroadcastHashJoin LeftAnti) and the corpus side must
+    reach that join with no Exchange — scan -> project -> union ->
+    anti-join, nothing else (the decontaminate contract, applied to
+    dedup decisions)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_apply,
+        dedup_corpus,
+    )
+
+    corpus = dedup_corpus(spark, "/root/testdata/sf0.001")
+    # stand-in decisions frame (the real one is checkpointed output;
+    # the plan shape under test is dedup_apply's join, not its input)
+    decisions = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 0)], ["doc_id", "keeper_id"]
+    )
+    plan = _plan(dedup_apply(corpus, decisions))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+    # the ONLY exchange anywhere is the broadcast of the drop list
+    import re
+
+    exchanges = re.findall(r"\)\s+(\w*Exchange)\b", plan)
+    assert exchanges and set(exchanges) == {"BroadcastExchange"}, exchanges
