@@ -573,8 +573,8 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         connected_components_pairs,
     )
 
-    # chain 10-...-22: diameter 12 > _CKPT_EVERY=5, so the periodic
-    # reliable truncation fires at least twice mid-loop
+    # chain 10-...-22: diameter 12, so the per-round reliable
+    # truncation fires many times mid-loop
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 22)], ["a_id", "b_id"]
     )
@@ -585,6 +585,15 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {d: (10, 13) for d in range(10, 23)}
     wrote = any(files for _, _, files in os.walk(ckpt))
     assert wrote, "reliable checkpoint dir received no data"
+
+    # same contract for the twostar mode's per-round reliable truncation
+    ckpt2 = str(tmp_path / "ckpt2")
+    got2 = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+            for r in connected_components_pairs(
+                chain, max_iter=20, checkpoint_dir=ckpt2,
+                mode="twostar").collect()}
+    assert got2 == got
+    assert any(files for _, _, files in os.walk(ckpt2))
 
 
 def test_winnow_batch_equals_per_doc():
