@@ -730,6 +730,27 @@ def test_pairs_crosscheck_agrees_and_reports_drops(spark):
     assert r["n_pairs_lsh"] == r["n_pairs_prefix"] >= 80  # planted dups found
 
 
+def test_components_tolerate_messy_pair_input(spark):
+    """Real pair generators are deduped and canonical, but the operator
+    must not depend on it: self-loops, duplicate pairs, and both
+    orientations of the same edge must not change the clustering in
+    either mode."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3), (5, 6)],
+        ["a_id", "b_id"],
+    )
+    want = {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+    for mode in ("minlabel", "twostar"):
+        got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+               for r in connected_components_pairs(
+                   messy, max_iter=20, mode=mode).collect()}
+        assert got == want, (mode, got)
+
+
 def test_two_star_components_logarithmic_on_long_chain(spark):
     """The twostar mode is THE long-chain scale path: a 1,024-node path
     graph (diameter 1,023 — min-label propagation would need ~1,023
