@@ -724,10 +724,20 @@ def pairs_crosscheck(corpus: DataFrame) -> DataFrame:
     (tools/check_queries.py asserts diff == drops == 0 Spark-side)."""
     lsh, d_lsh = minhash_lsh_pairs_with_drops(corpus)
     pre, d_pre = jaccard_prefix_pairs_with_drops(corpus)
-    j = lsh.select("a_id", "b_id", F.lit(1).alias("in_lsh")).join(
-        pre.select("a_id", "b_id", F.lit(1).alias("in_prefix")),
-        ["a_id", "b_id"],
-        "full_outer",
+    # both generators emit distinct canonical keys by construction, but
+    # the comparison must not DEPEND on it: a duplicated (a_id, b_id) on
+    # either side would fan out the full-outer join and inflate both
+    # counts instead of flagging the bug — dedup the keys first (the
+    # dropDuplicates folds into each side's existing aggregation)
+    j = (
+        lsh.select("a_id", "b_id", F.lit(1).alias("in_lsh"))
+        .dropDuplicates(["a_id", "b_id"])
+        .join(
+            pre.select("a_id", "b_id", F.lit(1).alias("in_prefix"))
+            .dropDuplicates(["a_id", "b_id"]),
+            ["a_id", "b_id"],
+            "full_outer",
+        )
     )
     sym = j.agg(
         F.coalesce(F.sum("in_lsh"), F.lit(0)).cast("bigint").alias("n_pairs_lsh"),
@@ -1243,7 +1253,10 @@ def _two_star_components(
     (a 1,000-link drifting near-dup chain = ~1,000 joins at 100 TB),
     this converges in O(log diameter) rounds (round count asserted by
     test on a 1,024-node path). Same output contract as the min-label
-    mode: (doc_id, keeper_id, cluster_size).
+    mode: (doc_id, keeper_id, cluster_size) — including a (d, d, 1)
+    singleton row for a node whose only pairs are self-loops (the star
+    loop drops self-loops up front, so those nodes are re-added
+    explicitly; r5 ADVICE).
 
     Convergence = the canonical edge set reaches a fixed point of one
     full (large, small) round, detected by a collision-resistant
@@ -1336,7 +1349,24 @@ def _two_star_components(
             F.col("label").alias("keeper_id"),
             F.col("cluster_size").cast("int").alias("cluster_size"),
         )
-        return _truncate_lineage(out, reliable)
+        # self-loop-ONLY nodes never reach edges0 (the canonical set
+        # filters a != b) but minlabel emits them as (d, d, 1) —
+        # re-add the ones no real edge touches so both modes share one
+        # output contract (r5 ADVICE)
+        loop_ids = (
+            pairs.where(F.col("a_id") == F.col("b_id"))
+            .select(F.col("a_id").alias("id"))
+            .distinct()
+        )
+        edge_ids = edges0.select(F.col("a_id").alias("id")).unionByName(
+            edges0.select(F.col("b_id").alias("id"))
+        )
+        singletons = loop_ids.join(edge_ids, "id", "left_anti").select(
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("keeper_id"),
+            F.lit(1).cast("int").alias("cluster_size"),
+        )
+        return _truncate_lineage(out.unionByName(singletons), reliable)
     finally:
         edges0.unpersist()
         if prior_ckpt_dir is not None:

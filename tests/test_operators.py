@@ -696,8 +696,15 @@ def test_connected_components_random_graphs(spark):
                 edges.add((min(a, b), max(a, b)))
         if not edges:
             edges = {(0, 1)}
-        pairs = spark.createDataFrame(sorted(edges), ["a_id", "b_id"])
+        # self-loops, including on ids ABOVE the edge range so some are
+        # self-loop-only: both modes must emit (d, d, 1) for those
+        loops = {(i, i) for i in rng.sample(range(n_nodes + 5), 3)}
+        pairs = spark.createDataFrame(
+            sorted(edges | loops), ["a_id", "b_id"]
+        )
         want = union_find(edges)
+        for i, _ in loops:
+            want.setdefault(i, (i, 1))
         for mode in ("minlabel", "twostar"):
             got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
                    for r in connected_components_pairs(
@@ -740,10 +747,13 @@ def test_components_tolerate_messy_pair_input(spark):
     )
 
     messy = spark.createDataFrame(
-        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3), (5, 6)],
+        # (3, 3): self-loop on a clustered node; (9, 9): a self-loop-ONLY
+        # node — must come out as a (9, 9, 1) singleton in BOTH modes
+        # (r5 ADVICE: twostar used to drop it silently)
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3), (5, 6), (9, 9)],
         ["a_id", "b_id"],
     )
-    want = {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+    want = {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2), 9: (9, 1)}
     for mode in ("minlabel", "twostar"):
         got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
                for r in connected_components_pairs(
@@ -775,7 +785,22 @@ def test_two_star_components_logarithmic_on_long_chain(spark):
     assert rounds and rounds[0] <= 14, rounds
 
 
-def test_components_checkpoint_dir_warns_without_prior(spark, tmp_path):
+@pytest.fixture
+def session_scoped_ckpt_after(spark, tmp_path_factory):
+    """This test intentionally leaves the shared session WITH a
+    checkpoint dir (Spark cannot unset one); without cleanup that dir
+    would be this test's function-scoped tmp_path — pruned while the
+    session lives. Re-point it at a session-scoped tmp dir afterwards so
+    later tests never inherit a doomed directory (r5 ADVICE)."""
+    yield
+    spark.sparkContext.setCheckpointDir(
+        str(tmp_path_factory.mktemp("session_ckpt"))
+    )
+
+
+def test_components_checkpoint_dir_warns_without_prior(
+    spark, tmp_path, session_scoped_ckpt_after
+):
     """When the session has NO prior checkpoint dir, passing
     checkpoint_dir= must warn that ours remains session-global after
     the call (Spark cannot unset it) — callers on shared sessions need

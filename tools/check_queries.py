@@ -26,6 +26,9 @@ def _crosscheck_invariant(sdf: pd.DataFrame) -> list[str]:
     set-exactly with zero drops — that agreement IS the evidence, no
     external truth needed (at sf0.01 the driver additionally hashes the
     row against the quadratic oracle)."""
+    if len(sdf) != 1:
+        # fail like the oracle path instead of dying on .iloc[0]
+        return [f"expected exactly 1 row, got {len(sdf)}"]
     r = sdf.iloc[0]
     errs = []
     if r["n_symmetric_diff"] != 0:
