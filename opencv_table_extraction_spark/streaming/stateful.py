@@ -106,15 +106,18 @@ def assemble_conversations(
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 8,
 ) -> None:
     """availableNow pass over newly-appended turn files: per-conv_id
     stateful fold (applyInPandasWithState), appending one delta row per
     touched conversation per micro-batch to ``out_dir``. See the module
-    docstring for how to reassemble full transcripts from the deltas."""
+    docstring for how to reassemble full transcripts from the deltas.
+    ``max_files_per_trigger=1`` forces one micro-batch per source file —
+    the deterministic-replay shape the oracle certification uses."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     snapshots = stream.groupBy("conv_id").applyInPandasWithState(
@@ -133,3 +136,89 @@ def assemble_conversations(
         .start()
     )
     q.awaitTermination()
+
+
+def replay_assemble(spark: SparkSession, turns, bucket_col: str = "_bkt"):
+    """Deterministic batch-REPLAY of the stateful assembler, for oracle
+    certification (r5 verdict #6: this was the only §2.B operator
+    certified by pytest alone). ``turns`` carries TRANSCRIPT_SCHEMA
+    columns plus an integer ``bucket_col`` that is non-decreasing in
+    turn_idx (bucket ranges partition the turn_idx order — the module
+    contract: cross-batch arrival in non-decreasing turn_idx). Each
+    bucket becomes ONE source file with a strictly increasing mtime, the
+    stream runs availableNow with maxFilesPerTrigger=1 (one micro-batch
+    per file, in mtime order), and the sink's delta rows are reassembled
+    into final per-conversation transcripts:
+
+      (conv_id, n_turns, max_turn_idx, total_chars, n_deltas, transcript)
+
+    n_deltas counts the micro-batches that touched the conversation —
+    > 1 for any conversation spanning buckets, so a hash-match against
+    the SQL oracle proves CROSS-BATCH state continuation, not just a
+    single-batch fold. The result is collected (one row per
+    conversation) before the scratch dir is removed, then rebuilt as a
+    local DataFrame — same lifecycle as the IVF store query."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    buckets = sorted(
+        r[0] for r in turns.select(bucket_col).distinct().collect()
+    )  # bounded: the replay fixture uses a handful of buckets
+    tmp = tempfile.mkdtemp(prefix="octe_replay_")
+    try:
+        src = os.path.join(tmp, "source")
+        out = os.path.join(tmp, "out")
+        os.makedirs(src)
+        base = time.time() - 3600
+        for i, b in enumerate(buckets):
+            part_dir = os.path.join(tmp, f"w{i}")
+            (
+                turns.where(F.col(bucket_col) == b)
+                .select(*cols)
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            (part_file,) = [
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(src, f"{i:05d}.parquet")
+            shutil.move(os.path.join(part_dir, part_file), dst)
+            os.utime(dst, (base + i, base + i))  # mtime = batch order
+        assemble_conversations(spark, src, out, max_files_per_trigger=1)
+        deltas = spark.read.parquet(os.path.join(out, "data"))
+        # deltas in cumulative-n_turns order = arrival order; the struct
+        # sort key is (n_turns, delta_text) but n_turns is unique per
+        # conversation, so the text never participates in ordering
+        agg = deltas.groupBy("conv_id").agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+            F.max("total_chars").alias("total_chars"),
+            F.count("*").alias("n_deltas"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("n_turns", "delta_text"))
+                    ),
+                    lambda s: s["delta_text"],
+                ),
+                "\n",
+            ).alias("transcript"),
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+            StructField("total_chars", LongType()),
+            StructField("n_deltas", LongType()),
+            StructField("transcript", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
