@@ -41,9 +41,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derive transcripts from sf0.001 parquet, run the full
-    extraction pipeline (salted kernel map + ordering window)."""
+    extraction pipeline (salted kernel map + turn ordering). Uses the
+    UNBOUNDED turn_seq form (two-level prefix sum + join-back) so no
+    stage of the flagship path serializes a conversation into one task
+    at any conversation size (r5 verdict #3)."""
     transcripts = transcripts_from_tpch(spark, SF0001)
-    return ordered_output(extract_transcripts(transcripts, salt_buckets=8))
+    return ordered_output(
+        extract_transcripts(transcripts, salt_buckets=8, unbounded_turn_seq=True)
+    )
 
 
 # ---------------------------------------------------------------- A. extraction
@@ -65,11 +70,16 @@ def _q_extract_order_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_tables_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same order-table extraction routed through the ADAPTIVE
     (integral-image mean-C) threshold instead of Otsu (kernel A5,
-    imaging.py:79). Shares the tables oracle: a hash-match certifies
-    that adaptive binarization recovers the identical grid, cells, and
-    spans end-to-end — the branch Otsu-default queries never execute."""
+    imaging.py:79) — a hash-match certifies that adaptive binarization
+    recovers the identical grid, cells, and spans end-to-end, the branch
+    Otsu-default queries never execute. This row also certifies the
+    UNBOUNDED turn_seq form (plans/pipeline.turn_seq_map — two-level
+    prefix sum + join-back, r5 verdict #3): the emitted turn_seq column
+    must hash-match the oracle's per-conversation row_number."""
     t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
-    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False, use_adaptive=True)
+    out = extract_transcripts(
+        t, salt_buckets=8, use_adaptive=True, unbounded_turn_seq=True
+    )
     return out.select(
         F.col("turn_idx").cast("bigint").alias("order_key"),
         "route",
@@ -78,6 +88,7 @@ def _q_extract_tables_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cols").cast("int").alias("n_cols"),
         F.col("n_cells").cast("int").alias("n_cells"),
         F.col("n_joints").cast("int").alias("n_joints"),
+        F.col("turn_seq").cast("int").alias("turn_seq"),
     )
 
 
@@ -119,6 +130,18 @@ SELECT CAST(l_orderkey AS BIGINT) AS order_key,
        CAST((cnt + 2) * 5 AS INT) AS n_joints
 FROM body
 """
+
+# the adaptive row additionally certifies unbounded turn_seq: same table
+# oracle + the per-conversation ordinal (conv = order-{key % 100},
+# turn_idx = order key, so turn_seq = rank of the key within its mod
+# class — exactly what turn_seq_map must reproduce distributed)
+_SQL_EXTRACT_TABLES_ADAPTIVE = _SQL_EXTRACT_TABLES.replace(
+    "FROM body",
+    """     ,
+       CAST(row_number() OVER (PARTITION BY l_orderkey % 100
+                               ORDER BY l_orderkey) AS INT) AS turn_seq
+FROM body""",
+)
 
 _SQL_EXTRACT_HTML = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -920,7 +943,7 @@ def _all_oracle_sql() -> dict[str, str]:
     o = {
         "extract_order_tables": _SQL_EXTRACT_TABLES,
         "extract_order_cells": _SQL_EXTRACT_CELLS,
-        "extract_tables_adaptive": _SQL_EXTRACT_TABLES,
+        "extract_tables_adaptive": _SQL_EXTRACT_TABLES_ADAPTIVE,
         "extract_html_docs": _SQL_EXTRACT_HTML,
         "extract_scan_routes": _SQL_EXTRACT_SCANS,
         "pricing_summary": _SQL_PRICING,

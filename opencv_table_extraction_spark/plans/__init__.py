@@ -4,5 +4,6 @@ from .pipeline import (  # noqa: F401
     lineage_summary,
     ordered_output,
     transcripts_from_tpch,
+    turn_seq_map,
     with_turn_seq,
 )

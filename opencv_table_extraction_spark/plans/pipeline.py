@@ -37,6 +37,8 @@ __all__ = [
     "OUT_SCHEMA",
     "extract_transcripts",
     "ordered_output",
+    "turn_seq_map",
+    "with_turn_seq",
     "lineage_summary",
     "transcripts_from_tpch",
 ]
@@ -77,6 +79,7 @@ def extract_transcripts(
     repartition_to: int | None = None,
     use_adaptive: bool = False,
     add_turn_seq: bool = True,
+    unbounded_turn_seq: bool = False,
 ) -> DataFrame:
     """The extraction pipeline body (B2-B5) over a transcript DataFrame.
 
@@ -108,26 +111,96 @@ def extract_transcripts(
     fn = functools.partial(extract_batch, use_adaptive=use_adaptive)
     out = src.mapInArrow(fn, OUT_SCHEMA)
     if add_turn_seq:
-        out = with_turn_seq(out)
+        # unbounded mode takes its (conv_id, turn_idx) keys from the
+        # INPUT frame — a column-pruned re-scan of the source (cheap,
+        # JVM-only) instead of a second run of the Python kernel
+        out = with_turn_seq(
+            out,
+            unbounded=unbounded_turn_seq,
+            keys=df.select("conv_id", "turn_idx") if unbounded_turn_seq else None,
+        )
     return out
 
 
-def with_turn_seq(out: DataFrame) -> DataFrame:
-    """B5: window over conv_id -> stable turn ordering guarantee.
+def turn_seq_map(keys: DataFrame, buckets: int | None = None) -> DataFrame:
+    """Distributed ordinal assignment: (conv_id, turn_idx) ->
+    (conv_id, turn_idx, turn_seq) where turn_seq is the 1-based rank of
+    turn_idx within its conversation — computed WITHOUT ever holding a
+    whole conversation in one task (the two-level prefix sum, the same
+    worked pattern as operators/textstats.pack_token_shards):
 
-    Kept separable from the kernel map so lineage_summary can aggregate
-    on the *map* partitions before this window's exchange.
+      1. bucket every row by turn_idx value range (global min/max from
+         one 1-row aggregate; bucket boundaries are pure arithmetic, so
+         both passes over `keys` bucket identically — no persist needed,
+         unlike spark_partition_id()-based bucketing, which could drift
+         between a plan's re-executions);
+      2. count rows per (conv_id, bucket) — a SMALL frame (<= convs x
+         buckets) — and turn counts into exclusive per-bucket offsets
+         with a window ORDERED BY BUCKET (partition size <= `buckets`
+         rows per conversation, never conversation length);
+      3. join the offsets back on (conv_id, bucket) (AQE broadcasts the
+         small side) and rank WITHIN each (conv_id, bucket): partition
+         size is bounded by the bucket's value range share, so a 10^9-
+         turn conversation splits across ~`buckets` tasks instead of
+         serializing into one.
 
-    Scale note: the window serializes each conversation into one task —
-    correct and cheap while conversations are bounded (the data model's
-    assumption: 10^12 turns come from ~10^9 conversations, and the rows
-    here are the small extraction output, not images). A pathological
-    single conversation with ~10^9 turns would need the two-level
-    prefix-sum shape instead (range partition by (conv_id, turn_idx),
-    per-partition counts, exclusive offsets — see
-    operators/textstats.pack_token_shards for the worked pattern)."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return out.withColumn("turn_seq", F.row_number().over(w))
+    Ties on (conv_id, turn_idx) get arbitrary distinct ranks — identical
+    to the window form's row_number tie-break; the data model's turn_idx
+    is unique per conversation."""
+    spark = keys.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism * 4
+    k = keys.select("conv_id", "turn_idx")
+    rng = k.agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")).collect()[0]
+    if rng["lo"] is None:  # empty input
+        return k.withColumn("turn_seq", F.lit(None).cast("int"))
+    lo, span = int(rng["lo"]), int(rng["hi"]) - int(rng["lo"]) + 1
+    width = max(1, -(-span // buckets))  # ceil
+    b = k.withColumn(
+        "_bkt", F.floor((F.col("turn_idx") - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    counts = b.groupBy("conv_id", "_bkt").agg(F.count("*").alias("_c"))
+    w_off = Window.partitionBy("conv_id").orderBy("_bkt")
+    offs = counts.withColumn("_off", F.sum("_c").over(w_off) - F.col("_c")).drop("_c")
+    w_rank = Window.partitionBy("conv_id", "_bkt").orderBy("turn_idx")
+    return (
+        b.join(offs, ["conv_id", "_bkt"])
+        .withColumn("turn_seq", (F.col("_off") + F.row_number().over(w_rank)).cast("int"))
+        .drop("_bkt", "_off")
+    )
+
+
+def with_turn_seq(
+    out: DataFrame,
+    unbounded: bool = False,
+    buckets: int | None = None,
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """B5: stable turn ordering guarantee (turn_seq = 1-based rank of
+    turn_idx within conv_id). Kept separable from the kernel map so
+    lineage_summary can aggregate on the *map* partitions before this
+    stage's exchange.
+
+    Default form: one window over conv_id — one shuffle, but each
+    conversation serializes into one task. Correct and cheap while
+    conversations are bounded (the data model's assumption: 10^12 turns
+    from ~10^9 conversations, and the rows here are the small extraction
+    output, not images).
+
+    ``unbounded=True`` (r5 verdict #3 — the production-shape twin, like
+    asof's bucketed mode and components' twostar): two-level prefix-sum
+    ranking via :func:`turn_seq_map`, then an equi-join back on
+    (conv_id, turn_idx) — every stage's task size stays bounded at ANY
+    conversation length. Costs one extra small-side shuffle + the keys
+    pass; pass ``keys`` (a cheap pre-kernel projection of the same rows)
+    when ``out`` sits downstream of an expensive map, else the keys
+    branch re-executes it. Requires (conv_id, turn_idx) unique (the data
+    model's key) — the join would fan out duplicates, where the window
+    form would arbitrarily rank them."""
+    if not unbounded:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        return out.withColumn("turn_seq", F.row_number().over(w))
+    seq = turn_seq_map(keys if keys is not None else out.select("conv_id", "turn_idx"), buckets)
+    return out.join(seq, ["conv_id", "turn_idx"])
 
 
 def ordered_output(out: DataFrame) -> DataFrame:

@@ -43,7 +43,9 @@ def test_filter_pushdown_reaches_scan(spark, fixture_dir):
 def test_broadcast_join_used_for_small_dim(spark):
     import __spark_entry__ as em
 
-    q = em.queries()["region_nations"](spark, "/root/testdata/sf0.001")
+    # region_nations lives in the extras tier (registry capped at the
+    # driver's 50 graded rows) but stays the broadcast-plan exemplar
+    q = em.extra_queries()["region_nations"](spark, "/root/testdata/sf0.001")
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
 
@@ -188,3 +190,61 @@ def test_dedup_apply_corpus_side_never_shuffles(spark):
 
     exchanges = re.findall(r"\)\s+(\w*Exchange)\b", plan)
     assert exchanges and set(exchanges) == {"BroadcastExchange"}, exchanges
+
+
+def test_turn_seq_unbounded_equals_window_form(spark):
+    """Property test for the two-level prefix-sum turn ordering (r5
+    verdict #3): on conversations with gaps, negative turn_idx, a giant
+    5,000-turn conversation, and a bucket count far smaller than the
+    giant conversation (forcing real cross-bucket offsets), the
+    unbounded form must equal the window form exactly — and no window
+    partition in the unbounded plan may hold a whole conversation."""
+    import random
+
+    from opencv_table_extraction_spark.plans import turn_seq_map, with_turn_seq
+
+    rng = random.Random(7)
+    rows = [("giant", i * 3 - 500) for i in range(5000)]
+    for c in range(30):
+        ids = rng.sample(range(-1000, 10000), rng.randrange(1, 40))
+        rows += [(f"c{c}", i) for i in ids]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int").repartition(7)
+
+    win = with_turn_seq(df)
+    unb = with_turn_seq(df, unbounded=True, buckets=16)
+    a = {(r["conv_id"], r["turn_idx"]): r["turn_seq"] for r in win.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["turn_seq"] for r in unb.collect()}
+    assert a == b and len(a) == len(rows)
+
+    # the map alone, with buckets=16 over a 5,000-turn conversation:
+    # ranks must still be the per-conversation 1..n ordinals
+    m = turn_seq_map(df, buckets=16)
+    got = sorted(
+        r["turn_seq"] for r in m.where(F.col("conv_id") == "giant").collect()
+    )
+    assert got == list(range(1, 5001))
+
+    # empty input keeps the schema
+    empty = turn_seq_map(df.where(F.lit(False)))
+    assert empty.columns == ["conv_id", "turn_idx", "turn_seq"]
+    assert empty.count() == 0
+
+
+def test_unbounded_turn_seq_runs_kernel_once(spark, fixture_dir):
+    """The unbounded turn_seq form takes its ordinal keys from the
+    INPUT (a pruned JVM-only re-scan), never from the kernel output —
+    the Python kernel map must appear exactly once in the plan, and the
+    keys branch must not carry the text column."""
+    import re
+
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_transcripts(df, salt_buckets=8, unbounded_turn_seq=True)
+    plan = _plan(out)
+    assert len(re.findall(r"\(\d+\)\s+MapInArrow", plan)) == 1
+    # one scan feeds the kernel (carries text); the keys branch scans
+    # (counts + join-back sides) are pruned to (conv_id, turn_idx) only
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sum("text" in s for s in schemas) == 1
+    assert sum("text" not in s for s in schemas) >= 1
+    assert all("text" in s or ("conv_id" in s and "turn_idx" in s) for s in schemas)
