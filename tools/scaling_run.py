@@ -92,6 +92,20 @@ def wait_for_quiet(max_load: float = 1.5, timeout_s: int = 600) -> float:
         time.sleep(10)
 
 
+def wait_for_cotenant(max_cpus: float, timeout_s: float) -> float:
+    """Gate a sample on the MEASURED co-tenant CPU (bench.py's
+    /proc-based estimator), not loadavg — r5 lesson twice over: loadavg
+    carries ~1 min of OUR OWN decay after each heavy child (burning the
+    gate budget on an idle host), and the r5 scaling record's local[4]
+    walls drifted 119->169 s under an ambient tenant the loadavg gate
+    ADMITTED. Returns co-tenant cores at release; between fresh-JVM
+    child processes our own subtree is idle, so the reading is a pure
+    tenant signal."""
+    import bench
+
+    return bench.wait_for_cotenant_quiet(max_cpus, timeout_s)
+
+
 def run_level(cpus: int, fixture: str, runs: int, narrow: bool = False) -> dict:
     script = _CHILD.format(repo=REPO)
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
@@ -131,6 +145,13 @@ def main() -> None:
                     help="block each sample until 1-min loadavg <= this "
                          "(shared host: ~1.4 ambient cores measurably "
                          "depress the wide level's efficiency)")
+    ap.add_argument("--quiet-cotenant", type=float, default=0.75,
+                    help="ALSO block each interleaved sample until the "
+                         "measured co-tenant CPU (bench.py estimator) "
+                         "<= this many cores — the r5 record showed "
+                         "loadavg alone admits a drifting tenant")
+    ap.add_argument("--gate-timeout", type=float, default=420,
+                    help="per-sample bound on co-tenant gate wait (s)")
     args = ap.parse_args()
 
     from opencv_table_extraction_spark.fixtures.gen import write_fixture
@@ -162,15 +183,22 @@ def main() -> None:
         # timed run)
         lo = {"cpus": args.low, "n_turns": None, "walls": [], "skew": None}
         hi = {"cpus": args.high, "n_turns": None, "walls": [], "skew": None}
-        loads = []
+        loads, cots = [], []
         for _ in range(args.runs):
             for acc, cpus in ((lo, args.low), (hi, args.high)):
                 loads.append(round(wait_for_quiet(args.quiet_load), 2))
+                cots.append(round(
+                    wait_for_cotenant(args.quiet_cotenant, args.gate_timeout), 2
+                ))
                 r = run_level(cpus, fixture, 1, narrow=args.narrow)
                 acc["walls"].extend(r["walls"])
                 acc["n_turns"] = r["n_turns"]
                 acc["skew"] = r["skew"]
-        print(json.dumps({"ambient_load_at_start": loads}))
+        # the gate metadata that makes each sample auditable: quiet-by-
+        # measurement, not quiet-by-assumption (r6 protocol upgrade)
+        print(json.dumps({"ambient_load_at_start": loads,
+                          "cotenant_cpus_at_start": cots,
+                          "cotenant_gate": args.quiet_cotenant}))
         print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"]}))
     else:
         lo = run_level(args.low, fixture, args.runs)
@@ -180,6 +208,11 @@ def main() -> None:
     n = lo["n_turns"]
     speedup = t_lo / t_hi
     eff = speedup / (args.high / args.low)
+    # conservative pairing (r5 verdict #5): the efficiency you get from
+    # the FASTEST low sample against the SLOWEST high sample — ambient
+    # drift inflates the median pairing (a slow lo sample buys "free"
+    # efficiency), so the honest record brackets truth with both
+    eff_cons = (min(lo["walls"]) / max(hi["walls"])) / (args.high / args.low)
     summary = {
         "n_turns": n,
         f"wall_s_local{args.low}": round(t_lo, 2),
@@ -188,6 +221,7 @@ def main() -> None:
         f"turns_per_s_local{args.high}": round(n / t_hi, 1),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_conservative": round(eff_cons, 3),
         "pass_0.8": eff >= 0.8,
         "skew_high": hi["skew"],
     }
@@ -212,7 +246,8 @@ runs, median wall-clock.
 | throughput (turns/s) | {n / t_lo:.0f} | {n / t_hi:.0f} |
 
 - speedup {args.low}->{args.high}: **{speedup:.2f}x** over a {args.high // args.low}x core increase
-- scaling efficiency: **{eff:.3f}** (gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+- scaling efficiency: **{eff:.3f}** (gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"});
+  conservative pairing (min lo / max hi): **{eff_cons:.3f}**
 - skew after salting (local[{args.high}]): max/median partition kernel time
   = {skew["max_part_ms"]}ms / {skew["median_part_ms"]}ms = {ratio:.2f}
   over {skew["n_parts"]} partitions; errors: {skew["n_errors"]}
