@@ -277,29 +277,45 @@ def _minhash_band_batches(batches, n_hashes: int, n_bands: int):
     the engine's standing rule (BASELINE.json input_hint): custom
     numeric kernels ride Arrow batches; joins/aggregations stay JVM.
 
-    Scheme (all public-knowledge: Broder minhash + universal hashing):
+    Scheme (all public-knowledge: Broder minhash + keyed mixing):
       token hash   = pandas hash_array (siphash, fixed key — process
                      independent and deterministic);
       shingle hash = mix of 3 consecutive token hashes (wrapping uint64);
-      signature_i  = min over shingles of (a_i*h32 + b_i) mod (2^31-1);
+      signature_i  = min over shingles of splitmix64(h64 ^ K_i), with
+                     K_i = splitmix64(splitmix64(i+1)) — 32 independent
+                     keyed avalanche mixes (Steele et al., OOPSLA 2014);
       band hash    = fold of the band's signature rows.
+
+    Why keyed splitmix64 and not the classic affine (a_i*h + b_i) mod p
+    family: the r6 sf1 sweep caught the affine form missing 9 of
+    102,615 true pairs at J = 0.82-0.89 where banding theory predicts
+    ~2e-8 misses per pair. Root cause (probed empirically, see
+    BENCH/BASELINE.md r6): the a_i/b_i were a LINEAR progression
+    ((i+1)*phi masked), so for a fixed pair of shingle values the
+    order of hash_i(x1) vs hash_i(x2) across i is a correlated Weyl
+    rotation, not 32 independent draws — unlucky residues let one
+    tail shingle win the min in nearly every function (observed 5-10/32
+    collisions where J predicts ~27/32). Independent avalanche keys
+    restore per-hash collision rate = J (measured 0.886 vs J 0.880 over
+    200 pairs; all 9 missed pairs found with 7-14/16 bands), and the
+    mix is mod-free, so it is also no slower.
     """
     import numpy as np
     import pyarrow as pa
     from pandas.util import hash_array
 
     rows_per_band = n_hashes // n_bands
-    # deterministic multipliers/offsets (golden-ratio Weyl sequence)
-    A = np.array(
-        [((0x9E3779B97F4A7C15 * (i + 1)) & 0x7FFFFFFF) | 1 for i in range(n_hashes)],
-        dtype=np.uint64,
-    ).reshape(-1, 1)
-    B = np.array(
-        [(0xC2B2AE3D27D4EB4F * (i + 1)) & 0x7FFFFFFF for i in range(n_hashes)],
-        dtype=np.uint64,
-    ).reshape(-1, 1)
-    P = np.uint64((1 << 31) - 1)
-    M32 = np.uint64((1 << 32) - 1)
+
+    def _splitmix64(z):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    with np.errstate(over="ignore"):
+        K = _splitmix64(
+            _splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+        ).reshape(-1, 1)
     C1 = np.uint64(0x9E3779B97F4A7C15)
     C2 = np.uint64(0xC2B2AE3D27D4EB4F)
     C3 = np.uint64(0x165667B19E3779F9)
@@ -318,7 +334,7 @@ def _minhash_band_batches(batches, n_hashes: int, n_bands: int):
                 th = np.pad(th, (0, 3 - len(th)))
             with np.errstate(over="ignore"):  # wrapping uint64 is the point
                 sh = (th[:-2] * C1) ^ (th[1:-1] * C2) ^ (th[2:] * C3)
-                vals = (A * (sh & M32)[None, :] + B) % P
+                vals = _splitmix64(sh[None, :] ^ K)
                 sig = vals.min(axis=1).reshape(n_bands, rows_per_band)
                 bh = np.zeros(n_bands, dtype=np.uint64)
                 for c in range(rows_per_band):
