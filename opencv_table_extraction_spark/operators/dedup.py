@@ -422,6 +422,7 @@ def minhash_lsh_pairs_with_drops(
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    n_hashes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash + LSH banding near-dup pairs, fully distributed:
       1. per-doc signature -> band keys (narrow Arrow kernel);
@@ -430,13 +431,29 @@ def minhash_lsh_pairs_with_drops(
          giant single-task array, no quadratic blow-up; see _bucket_ids);
       3. exact-Jaccard verification of the deduped candidates.
 
+    ``n_hashes``/``n_bands`` set the banding S-curve (rows per band =
+    n_hashes // n_bands). ``n_hashes`` defaults to 2*n_bands so that
+    raising n_bands keeps 2-row bands — the r6 sf1 sweep measured the
+    three relevant points on the 200k-doc corpus (BENCH/BASELINE.md r6):
+    16x2 (default) recall 99.982%, all misses at J in [0.5, 0.575],
+    and the leanest band-exchange volume — the 100-TB default; 32x2
+    (n_bands=32) measured PERFECT recall (102,615/102,615, 0 extra) at
+    ~1.3x warm wall and 2x band-exchange volume; 32x1 (n_bands=32,
+    n_hashes=32) also perfect recall but ~8x wall — single-row bands
+    admit every J-similar pair as a candidate, so the verify leg
+    dominates. Raise n_bands to 32 when near-threshold recall matters
+    more than shuffle volume.
+
     Returns ``(pairs, dropped)`` — the explicit telemetry contract: the
     ``dropped`` frame (band_id, band_hash, n) enumerates every excluded
     bucket, is lazy (evaluating it re-runs the banding subtree), and is
     certified by the ``dedup_dropped_buckets`` driver query.
     """
     docs = corpus.select("doc_id", "text")
-    bands = minhash_band_rows(docs, n_bands=n_bands)
+    bands = minhash_band_rows(
+        docs, n_hashes=(2 * n_bands if n_hashes is None else n_hashes),
+        n_bands=n_bands,
+    )
     # candidate pairs via ONE exchange: group band rows by bucket key and
     # enumerate ordered pairs inside each bucket. A self-join would
     # re-execute the whole scan->shingle->signature pipeline for both
@@ -470,13 +487,15 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Pairs-only convenience wrapper over minhash_lsh_pairs_with_drops.
     Drop telemetry has exactly ONE contract: the ``_with_drops`` form's
     explicit second frame (certified by dedup_dropped_buckets) — this
     wrapper is for callers that consciously ignore drops."""
     pairs, _ = minhash_lsh_pairs_with_drops(
-        corpus, n_bands=n_bands, threshold=threshold, max_bucket=max_bucket
+        corpus, n_bands=n_bands, threshold=threshold, max_bucket=max_bucket,
+        n_hashes=n_hashes,
     )
     return pairs
 

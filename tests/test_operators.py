@@ -43,6 +43,34 @@ def test_minhash_lsh_finds_all_near_dups(spark):
     assert all(pairs[p] >= 0.5 for p in found)
 
 
+def test_minhash_band_scaling_keeps_two_row_bands(spark):
+    """n_bands=32 must scale n_hashes to 64 (2-row bands), not degrade
+    to 32 single-row bands (the r6 sf1-sweep finding: 32x1 is
+    perfect-recall but ~8x wall because every J-similar pair becomes a
+    candidate). Pin: band rows per doc = n_bands in both configs, and
+    the 32x2 pair set is a superset of the 16x2 set on the test corpus
+    (higher recall, identical verify threshold)."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_band_rows,
+        minhash_lsh_pairs,
+    )
+
+    corpus = dedup_corpus(spark, SF)
+    docs = corpus.select("doc_id", "text").limit(5)
+    for nb in (16, 32):
+        per_doc = (
+            minhash_band_rows(docs, n_hashes=2 * nb, n_bands=nb)
+            .groupBy("doc_id").count().collect()
+        )
+        assert per_doc and all(r["count"] == nb for r in per_doc)
+
+    p16 = {(r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(corpus).collect()}
+    p32 = {(r["a_id"], r["b_id"])
+           for r in minhash_lsh_pairs(corpus, n_bands=32).collect()}
+    assert p16 <= p32
+
+
 def test_simhash_deterministic_and_discriminative(spark):
     from opencv_table_extraction_spark.operators.dedup import simhash60
 
