@@ -1408,6 +1408,23 @@ def _two_star_components(
             sc.setCheckpointDir(prior_ckpt_dir)
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Min-label ran out of rounds (pair-graph diameter > max_iter).
+
+    Raised instead of silently emitting split clusters; ``mode="auto"``
+    catches exactly this and falls back to the O(log diameter) two-star
+    contraction on the ORIGINAL pairs."""
+
+
+# mode="auto": rounds of min-label to attempt before falling back to
+# two-star. Dense near-dup clusters (the overwhelmingly common shape)
+# converge in 2-4 rounds of the cheaper per-round op (one join + one
+# agg vs two-star's two of each); only a drifting-chain graph burns the
+# whole budget, and the wasted work is bounded: 6 rounds over the small
+# (id, label) frame.
+_AUTO_MINLABEL_ROUNDS = 6
+
+
 def connected_components_pairs(
     pairs: DataFrame,
     max_iter: int = 20,
@@ -1431,6 +1448,13 @@ def connected_components_pairs(
       large-star/small-star contraction (Kiveris et al., SoCC 2014),
       O(log diameter) rounds — see _two_star_components. Same output,
       property-tested equal to minlabel and to a union-find.
+    - ``mode="auto"``: min-label for up to ``_AUTO_MINLABEL_ROUNDS``
+      rounds (dense dup clusters converge in 2-4 of the cheaper
+      per-round op), then on ``ComponentsNotConverged`` falls back to
+      two-star on the original pairs — fast on the common dense shape,
+      O(log diameter) on chains, never fails on diameter alone. The
+      output is mode-independent (property-tested), so callers lose
+      nothing by not choosing.
 
     ``round_counter``: optional list; the number of propagation rounds
     actually used is appended (tests assert the O(log n) bound). Per round: one join + one agg, labels persisted and the
@@ -1465,8 +1489,25 @@ def connected_components_pairs(
     """
     if mode == "twostar":
         return _two_star_components(pairs, max_iter, checkpoint_dir, round_counter)
+    if mode == "auto":
+        try:
+            return connected_components_pairs(
+                pairs,
+                max_iter=min(max_iter, _AUTO_MINLABEL_ROUNDS),
+                checkpoint_dir=checkpoint_dir,
+                mode="minlabel",
+                round_counter=round_counter,
+            )
+        except ComponentsNotConverged:
+            # the failed attempt appended nothing to round_counter and
+            # its caches were released in the minlabel finally block
+            return _two_star_components(
+                pairs, max_iter, checkpoint_dir, round_counter
+            )
     if mode != "minlabel":
-        raise ValueError(f"unknown mode {mode!r}: use 'minlabel' or 'twostar'")
+        raise ValueError(
+            f"unknown mode {mode!r}: use 'minlabel', 'twostar', or 'auto'"
+        )
     sc = pairs.sparkSession.sparkContext
     prior_ckpt_dir = None
     if checkpoint_dir is not None:
@@ -1547,11 +1588,12 @@ def connected_components_pairs(
             # fail fast, never emit silently-split clusters: a pair
             # graph with diameter > max_iter (a long drifting-near-dup
             # chain) needs a bigger budget, not wrong keepers
-            raise RuntimeError(
+            raise ComponentsNotConverged(
                 f"connected_components_pairs: not converged after "
                 f"{max_iter} rounds ({changed} labels still changing) — "
                 "raise max_iter (rounds needed = pair-graph diameter), or "
-                "use mode='twostar' (O(log diameter) rounds)"
+                "use mode='twostar' (O(log diameter) rounds) or "
+                "mode='auto' (falls back to twostar automatically)"
             )
         if round_counter is not None:
             round_counter.append(round_idx + 1)

@@ -644,6 +644,45 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert all(k == 10 for k in got.values())
 
 
+def test_connected_components_auto_mode(spark):
+    """mode='auto' = min-label for up to _AUTO_MINLABEL_ROUNDS, then a
+    two-star fallback on the original pairs instead of the fail-fast.
+    Dense graph: stays on the cheaper min-label (round_counter small).
+    Chain beyond the budget: falls back and still produces the correct
+    single cluster — never ComponentsNotConverged on diameter alone."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        _AUTO_MINLABEL_ROUNDS,
+        connected_components_pairs,
+    )
+
+    # dense star: diameter 2, min-label converges inside the budget
+    dense = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["a_id", "b_id"]
+    )
+    rounds: list[int] = []
+    got = {r["doc_id"]: r["keeper_id"]
+           for r in connected_components_pairs(
+               dense, mode="auto", round_counter=rounds).collect()}
+    assert all(k == 0 for k in got.values()) and len(got) == 6
+    assert rounds and rounds[0] <= _AUTO_MINLABEL_ROUNDS
+
+    # chain of diameter 12 > budget 6: the old minlabel default raised;
+    # auto must fall back to two-star and emit one correct cluster
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a_id", "b_id"]
+    )
+    rounds2: list[int] = []
+    got2 = {r["doc_id"]: (r["keeper_id"], r["cluster_size"])
+            for r in connected_components_pairs(
+                chain, max_iter=20, mode="auto",
+                round_counter=rounds2).collect()}
+    assert len(got2) == 13
+    assert all(v == (0, 13) for v in got2.values())
+    # the failed min-label attempt appends nothing; the single entry is
+    # the two-star fallback's round count (O(log diameter))
+    assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
+
+
 def test_winnow_oracle_matches_on_edge_whitespace(spark, tmp_path):
     """The winnow DuckDB oracle must agree with the Spark query even for
     texts edged with tabs/newlines (the r2 ADVICE divergence: DuckDB's
