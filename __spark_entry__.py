@@ -880,12 +880,17 @@ FROM t GROUP BY conv_id
 #                            mode; dedup_simhash certifies the 64-bit
 #                            hash per doc and dedup_simhash_pairs_scale
 #                            the at-scale Manku banding)
+#   text_repetition_stats   (r6 addition — the Gopher/FineWeb
+#                            duplicate-line/bigram/trigram quality
+#                            family; text keeps seven driver-graded
+#                            rows, this one is sweep-certified)
 _EXTRA = {
     "semi_join_f_customers",
     "event_sliding_counts",
     "top_bigrams",
     "region_nations",
     "dedup_simhash_pairs",
+    "text_repetition_stats",
 }
 
 

@@ -467,6 +467,122 @@ FROM documents
 """
 
 
+def repetition_stats_batch(texts) -> list[list[float]]:
+    """Per-document repetition metrics — the standard corpus quality
+    filters (Rae et al. "Gopher" 2021 §A.1.1; FineWeb/RefinedWeb reuse
+    them) that the length/punct/stopword `quality_score` family cannot
+    express:
+
+      n_lines           non-empty lines (space-trimmed, like the rest
+                        of the engine's DuckDB-matched trims)
+      dup_line_frac     fraction of line OCCURRENCES whose line value
+                        appears >= 2 times in the doc
+      top_bigram_frac   occurrences of the most frequent token bigram /
+                        total bigrams (boilerplate detector)
+      dup_trigram_frac  1 - distinct trigrams / total trigrams
+
+    Computed per doc in one pass (Counter/set over the tokenized doc) —
+    the 100-TB shape is a NARROW Arrow-batched map with ZERO shuffle and
+    no cross-doc state; callers filter on thresholds downstream.
+    Tokenization mirrors the DuckDB oracle exactly:
+    string_split_regex(trim(lower(text)), '\s+') — space-only trim,
+    lower first (same construction as _SQL_BIGRAMS). Values are RAW
+    IEEE doubles (no rounding anywhere): Python round() is banker's
+    while Spark/DuckDB round half-up, so rounding is where kernel and
+    oracle would drift; identical int-ratio divisions are bit-equal."""
+    import re
+    from collections import Counter
+
+    out: list[list[float]] = []
+    for t in texts:
+        raw = t or ""
+        lines = [ln for ln in raw.split("\n") if ln.strip(" ") != ""]
+        n_lines = len(lines)
+        if n_lines:
+            dup = sum(c for c in Counter(lines).values() if c >= 2)
+            dlf = dup / n_lines
+        else:
+            dlf = 0.0
+        toks = re.split(r"\s+", raw.lower().strip(" "))
+        n_bg = len(toks) - 1
+        if n_bg >= 1:
+            tbf = max(Counter(zip(toks, toks[1:])).values()) / n_bg
+        else:
+            tbf = 0.0
+        n_tg = len(toks) - 2
+        if n_tg >= 1:
+            dtf = 1 - len(set(zip(toks, toks[1:], toks[2:]))) / n_tg
+        else:
+            dtf = 0.0
+        out.append([float(n_lines), dlf, tbf, dtf])
+    return out
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def rep(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            repetition_stats_batch(texts.tolist()), index=texts.index
+        )
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", rep("text").alias("r")).select(
+        "doc_id",
+        F.col("r")[0].cast("int").alias("n_lines"),
+        F.col("r")[1].alias("dup_line_frac"),
+        F.col("r")[2].alias("top_bigram_frac"),
+        F.col("r")[3].alias("dup_trigram_frac"),
+    )
+
+
+# line split on chr(10) with DuckDB's space-only default trim = the
+# kernel's raw.split("\n") + strip(" ") filter; token n-grams join with
+# ' ' — unambiguous because \s+-split tokens cannot contain spaces
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+lns AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''),
+lstat AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup_lines
+  FROM (SELECT doc_id, l, count(*) AS c FROM lns GROUP BY doc_id, l) g
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS b
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  WHERE len(t) >= 2 AND i + 2 <= len(t)),
+bstat AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) g
+  GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS tgm
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+  WHERE len(t) >= 3 AND i + 3 <= len(t)),
+tstat AS (
+  SELECT doc_id, count(DISTINCT tgm) AS d_tg, count(*) AS n_tg
+  FROM tg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(l.n_lines, 0) AS INT) AS n_lines,
+       coalesce(CAST(l.dup_lines AS DOUBLE) / l.n_lines, 0.0)
+         AS dup_line_frac,
+       coalesce(CAST(b.top_c AS DOUBLE) / b.n_bg, 0.0) AS top_bigram_frac,
+       coalesce(1 - CAST(t.d_tg AS DOUBLE) / t.n_tg, 0.0)
+         AS dup_trigram_frac
+FROM documents d
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN bstat b USING (doc_id)
+LEFT JOIN tstat t USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_token_stats": _q_token_stats,
@@ -476,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprint": _q_winnow,
         "text_train_test_split": _q_train_test_split,
         "text_pack_token_shards": _q_pack_token_shards,
+        "text_repetition_stats": _q_repetition_stats,
     }
 
 
@@ -488,4 +605,5 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprint": _SQL_WINNOW,
         "text_train_test_split": _SQL_SPLIT,
         "text_pack_token_shards": _SQL_PACK,
+        "text_repetition_stats": _SQL_REPETITION,
     }

@@ -683,6 +683,36 @@ def test_connected_components_auto_mode(spark):
     assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
 
 
+def test_repetition_stats_kernel():
+    """Hand-computed expectations for the Gopher-style repetition
+    metrics, covering the shapes the parquet corpus lacks (it has no
+    newlines): multi-line docs with duplicate lines, whitespace-only
+    lines, boilerplate bigram repetition, empty text. Pure kernel test —
+    the end-to-end oracle parity runs in tools/check_queries.py."""
+    from opencv_table_extraction_spark.operators.textstats import (
+        repetition_stats_batch,
+    )
+
+    texts = [
+        # 4 non-empty lines ("x" twice + "  " whitespace-only line is
+        # dropped); dup occurrences = 2 of 4
+        "x\na b\n  \nx\nc d",
+        # boilerplate: "spam ham" bigram dominates; tokens =
+        # [spam, ham, spam, ham, spam] -> bigrams: (spam,ham) x2,
+        # (ham,spam) x2 -> top 2/4; trigrams: (s,h,s), (h,s,h),
+        # (s,h,s) -> distinct 2 of 3
+        "Spam ham SPAM ham spam",
+        # all-distinct control
+        "a b c d e",
+        "",
+    ]
+    got = repetition_stats_batch(texts)
+    assert got[0][0] == 4.0 and got[0][1] == 2 / 4
+    assert got[1] == [1.0, 0.0, 2 / 4, 1 - 2 / 3]
+    assert got[2] == [1.0, 0.0, 1 / 4, 0.0]
+    assert got[3] == [0.0, 0.0, 0.0, 0.0]
+
+
 def test_winnow_oracle_matches_on_edge_whitespace(spark, tmp_path):
     """The winnow DuckDB oracle must agree with the Spark query even for
     texts edged with tabs/newlines (the r2 ADVICE divergence: DuckDB's
