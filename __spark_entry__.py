@@ -884,6 +884,10 @@ FROM t GROUP BY conv_id
 #                            duplicate-line/bigram/trigram quality
 #                            family; text keeps seven driver-graded
 #                            rows, this one is sweep-certified)
+#   dedup_containment_pairs (r6 addition — asymmetric containment
+#                            prefix-filter join, the quote/subsumption
+#                            detector symmetric Jaccard misses; dedup
+#                            keeps eleven driver-graded rows)
 _EXTRA = {
     "semi_join_f_customers",
     "event_sliding_counts",
@@ -891,6 +895,7 @@ _EXTRA = {
     "region_nations",
     "dedup_simhash_pairs",
     "text_repetition_stats",
+    "dedup_containment_pairs",
 }
 
 

@@ -699,6 +699,213 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(dedup_corpus(spark, sf_dir))
 
 
+_CONTAIN_SCHEMA = StructType(
+    [
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+        StructField("containment", DoubleType()),
+    ]
+)
+
+
+def _containment_verify_batches(batches):
+    """Arrow-batch kernel: (a_id, b_id, a_text, b_text) -> exact
+    containment C(A,B) = |S(A) ∩ S(B)| / |S(A)| of the ORDERED pair
+    (a contained-in b). Same gram semantics, tokenization, and HALF-UP
+    4-place rounding as _jaccard_verify_batches."""
+    import math
+
+    import pyarrow as pa
+
+    def gram_set(text: str) -> set:
+        toks = _jvm_tokens(text)
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    for batch in batches:
+        a_ids = batch.column("a_id").to_pylist()
+        b_ids = batch.column("b_id").to_pylist()
+        a_txt = batch.column("a_text").to_pylist()
+        b_txt = batch.column("b_text").to_pylist()
+        cons = []
+        for ta, tb in zip(a_txt, b_txt):
+            sa, sb = gram_set(ta), gram_set(tb)
+            c = len(sa & sb) / len(sa) if sa else float("nan")
+            cons.append(math.floor(c * 10000 + 0.5) / 10000)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(a_ids, type=pa.int64()),
+                pa.array(b_ids, type=pa.int64()),
+                pa.array(cons, type=pa.float64()),
+            ],
+            names=["a_id", "b_id", "containment"],
+        )
+
+
+def verify_containment_pairs(
+    cand: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-containment verification of ORDERED candidate (a_id, b_id)
+    pairs — same rejoin-text-once + Arrow-kernel shape as
+    verify_candidate_pairs."""
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    ver = (
+        cand.join(docs.select(F.col("doc_id").alias("a_id"),
+                              F.col("text").alias("a_text")), "a_id")
+        .join(docs.select(F.col("doc_id").alias("b_id"),
+                          F.col("text").alias("b_text")), "b_id")
+        .repartition(par, "a_id", "b_id")
+        .mapInArrow(_containment_verify_batches, _CONTAIN_SCHEMA)
+    )
+    return ver.where(F.col("containment") >= threshold)
+
+
+def containment_pairs_with_drops(
+    corpus: DataFrame, threshold: float = 0.8, max_bucket: int = MAX_BUCKET
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT asymmetric-containment join: ORDERED pairs (a_id, b_id)
+    where C(A,B) = |S(A) ∩ S(B)| / |S(A)| >= t — doc A (near-)contained
+    in doc B. The dedup case symmetric Jaccard structurally misses:
+    a short doc quoted inside a much longer one scores
+    J ~ |A|/|B| -> 0 while C(A,B) = 1; containment is the standard
+    quote/subsumption detector next to decontamination's eval-gram
+    variant (same family as the SSJoin/prefix-filter containment joins
+    of Chaudhuri et al. ICDE 2006 — public knowledge, reimplemented on
+    DataFrames).
+
+    Theorem (no false negatives): C(A,B) >= t means A shares >=
+    ceil(t*|A|) shingles with B, so among A's first
+    |A| - ceil(t*|A|) + 1 shingles in ANY global total order at least
+    one is in S(B). Hence: the CONTAINED side emits only that prefix
+    (df-ascending order — rarest first, minimizing bucket fan-out); the
+    CONTAINER side must emit ALL its shingles (a tiny doc can be
+    contained in any huge doc, so no symmetric prefix bound exists —
+    the inverted-index shape containment fundamentally needs). Exact
+    prunes on the shingle-join rows, both sides of the OR-per-token
+    argument as in PPJoin: |B| >= ceil(t*|A|) (overlap <= |B|), and at
+    A's first shared prefix position overlap <= |A| - pos. Candidates
+    dedup then verify exactly in Arrow.
+
+    100-TB shape: one shingle exchange (container side keys+ids only,
+    contained side a short prefix), bucket sizes bounded by df with the
+    same narrow df <= max_bucket filter as the Jaccard prefix join —
+    dropped hot shingles surface in the returned ``(pairs, dropped)``
+    tuple (boilerplate shingles that dedup_exact / the LSH path absorb);
+    exactness holds whenever ``dropped`` is empty."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    t_eff = threshold - 0.0001  # guard the 4-digit rounding edge
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    docs = corpus.select("doc_id", "text")
+    sh_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shingle", StringType()),
+            StructField("sz", IntegerType()),
+        ]
+    )
+    ex = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(par, "doc_id")
+        .mapInArrow(_shingle_rows_batches, sh_schema)
+    )
+    # same ReusedExchange-sharing rationale as the Jaccard prefix join:
+    # no persist — branches share the doc_id repartition exchange
+    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = ex.join(df_tbl, "shingle")
+    bside = joined.where(F.col("df") <= max_bucket).select(
+        "shingle", F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz")
+    )
+    ordered = (
+        joined
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+    )
+    plen = (
+        F.size("osh")
+        - F.ceil(F.lit(t_eff) * F.size("osh")).cast("int")
+        + F.lit(1)
+    )
+    aside = (
+        ordered.select(
+            "doc_id",
+            F.size("osh").alias("a_sz"),
+            F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
+        )
+        .select(
+            F.col("s.shingle").alias("shingle"),
+            F.col("doc_id").alias("a_id"),
+            "a_sz", "pos",
+            F.col("s.df").alias("df"),
+        )
+        .where(F.col("df") <= max_bucket)
+    )
+    dropped = (
+        df_tbl.where(F.col("df") > max_bucket)
+        .select("shingle", F.col("df").alias("n"))
+    )
+    need = F.ceil(F.lit(t_eff) * F.col("a_sz"))
+    cand = (
+        aside.join(bside, "shingle")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(F.col("b_sz") >= need)
+        # pos is 0-based: shingles of A at or after the first shared
+        # one = a_sz - pos, an upper bound on the overlap there
+        .where((F.col("a_sz") - F.col("pos")) >= need)
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = verify_containment_pairs(cand, docs, threshold)
+    return pairs, dropped
+
+
+def containment_pairs(
+    corpus: DataFrame, threshold: float = 0.8, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Pairs-only wrapper; drops are consciously ignored — use the
+    ``_with_drops`` form (the one telemetry contract) to consume them."""
+    pairs, _ = containment_pairs_with_drops(
+        corpus, threshold=threshold, max_bucket=max_bucket
+    )
+    return pairs
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment over the dedup corpus: every truncated twin is fully
+    contained in its base (C = 1.0) and the base is ~0.9-contained in
+    its twin — both directions clear t=0.8, making recall measurable."""
+    return containment_pairs(dedup_corpus(spark, sf_dir))
+
+
+# Brute-force quadratic oracle (small-corpus verification baseline,
+# like _SQL_MINHASH): all ordered pairs with the exact length
+# pre-filter len(b.sh) >= ceil(t*len(a.sh)) (drops no true pair).
+_SQL_CONTAINMENT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split_regex(trim(text), '\s+')[1:CAST(floor(len(string_split_regex(trim(text), '\s+')) * 0.9) AS INT)],
+           ' ') AS text
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' ')
+         )) AS sh
+  FROM corpus)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh), 4) AS containment
+FROM sh a JOIN sh b
+  ON a.doc_id <> b.doc_id
+ AND len(b.sh) >= CAST(ceil(0.7999 * len(a.sh)) AS BIGINT)
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(a.sh), 4) >= 0.8
+"""
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
 
@@ -1920,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": _q_decontaminate,
         "dedup_embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "dedup_dropped_buckets": _q_dropped_buckets,
+        "dedup_containment_pairs": _q_containment,
     }
 
 
@@ -1940,4 +2148,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _SQL_DECONTAM,
         "dedup_embedding_cosine_pairs": _SQL_EMB_PAIRS,
         "dedup_dropped_buckets": _SQL_DROPPED,
+        "dedup_containment_pairs": _SQL_CONTAINMENT,
     }

@@ -43,6 +43,46 @@ def test_minhash_lsh_finds_all_near_dups(spark):
     assert all(pairs[p] >= 0.5 for p in found)
 
 
+def test_containment_finds_planted_subsumptions(spark):
+    """Asymmetric containment: every truncated twin is a SUBSET of its
+    base doc's shingles, so (twin, base) must surface at containment
+    1.0 — the doc-inside-doc case symmetric Jaccard under-scores. The
+    reverse (base, twin) direction sits at ~0.9 and also clears t=0.8.
+    Also pins the ordered-pair contract (a_id = contained side) and the
+    no-drops exactness guarantee on this corpus."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        containment_pairs_with_drops,
+        dedup_corpus,
+    )
+
+    corpus = dedup_corpus(spark, SF)
+    pairs, dropped = containment_pairs_with_drops(corpus)
+    assert dropped.count() == 0  # exactness holds: nothing excluded
+    got = {(r["a_id"], r["b_id"]): r["containment"] for r in pairs.collect()}
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def grams(text):
+        toks = text.strip(" ").split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    for r in rows:
+        i = r["doc_id"]
+        assert got.get((i + 1_000_000, i)) == 1.0  # twin fully in base
+        # reverse direction (base in twin): tokens drop 10% but SHORT
+        # docs can lose >20% of their distinct shingles, so compute the
+        # truth per doc and require exact agreement either way
+        toks = r["text"].strip(" ").split()
+        twin = grams(" ".join(toks[: int(len(toks) * 0.9)]))
+        base = grams(r["text"])
+        truth = len(base & twin) / len(base)
+        if truth >= 0.8:
+            assert (i, i + 1_000_000) in got
+        else:
+            assert (i, i + 1_000_000) not in got
+
+
 def test_minhash_band_scaling_keeps_two_row_bands(spark):
     """n_bands=32 must scale n_hashes to 64 (2-row bands), not degrade
     to 32 single-row bands (the r6 sf1-sweep finding: 32x1 is
