@@ -888,6 +888,8 @@ FROM t GROUP BY conv_id
 #                            prefix-filter join, the quote/subsumption
 #                            detector symmetric Jaccard misses; dedup
 #                            keeps eleven driver-graded rows)
+#   text_scrub_pii          (r6 addition — planted-PII redaction pass,
+#                            pure JVM regexp algebra)
 _EXTRA = {
     "semi_join_f_customers",
     "event_sliding_counts",
@@ -896,6 +898,7 @@ _EXTRA = {
     "dedup_simhash_pairs",
     "text_repetition_stats",
     "dedup_containment_pairs",
+    "text_scrub_pii",
 }
 
 

@@ -583,6 +583,93 @@ LEFT JOIN tstat t USING (doc_id)
 """
 
 
+# PII redaction patterns, applied in order. RE2-safe subset on purpose
+# (character classes, bounded quantifiers, groups — no lookaround or
+# backreferences): the Spark side runs Java regex, the DuckDB oracle
+# RE2, and both dialects agree exactly on this subset with identical
+# leftmost non-overlapping match semantics.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard pre-release scrub pass (emails, IPs,
+    phone-shaped numbers -> typed placeholders) every corpus pipeline
+    runs before training or publication. Pure JVM expression algebra:
+    one regexp_count per pattern on the RAW text plus one nested
+    regexp_replace chain — zero Python, zero shuffle, whole-stage
+    codegen keeps it inside the scan's stage. Patterns apply in
+    PII_PATTERNS order; counts are per-pattern on the unscrubbed text
+    (documented: a value matching two patterns is counted by both but
+    redacted by the first)."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s", F.regexp_count(text_col, F.lit(pat))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scrub_pii over customer-derived contact text. The synthetic
+    tables carry no real PII, so the query PLANTS it deterministically
+    from c_custkey (same philosophy as dedup_corpus's planted twins:
+    redaction recall is measurable, not vacuously zero) — one email,
+    one IP, and one dashed phone per row; the oracle mirrors the
+    construction and the scrub."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_name"), F.lit(" contact user"), k.cast("string"),
+        F.lit("@example.com tel "),
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        (k % 9000 + 1000).cast("string"),
+        F.lit(" from 10."), (k % 256).cast("string"),
+        F.lit("."), (k % 200).cast("string"),
+        F.lit("."), (k % 250).cast("string"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    base = c.select(k.alias("doc_id"), text.alias("text"))
+    return scrub_pii(base).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "scrubbed"
+    )
+
+
+_SQL_SCRUB_PII = r"""
+WITH base AS (
+  SELECT c_custkey AS doc_id,
+         c_name || ' contact user' || c_custkey ||
+         '@example.com tel ' ||
+         (c_custkey % 90 + 10) || '-' ||
+         (c_custkey % 900 + 100) || '-' ||
+         (c_custkey % 9000 + 1000) ||
+         ' from 10.' || (c_custkey % 256) || '.' ||
+         (c_custkey % 200) || '.' || (c_custkey % 250) ||
+         ' segment ' || c_mktsegment AS text
+  FROM customer)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+       len(regexp_extract_all(text,
+           '[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+         '[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS scrubbed
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_token_stats": _q_token_stats,
@@ -593,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_test_split": _q_train_test_split,
         "text_pack_token_shards": _q_pack_token_shards,
         "text_repetition_stats": _q_repetition_stats,
+        "text_scrub_pii": _q_scrub_pii,
     }
 
 
@@ -606,4 +694,5 @@ def oracle_sql() -> dict[str, str]:
         "text_train_test_split": _SQL_SPLIT,
         "text_pack_token_shards": _SQL_PACK,
         "text_repetition_stats": _SQL_REPETITION,
+        "text_scrub_pii": _SQL_SCRUB_PII,
     }

@@ -723,6 +723,32 @@ def test_connected_components_auto_mode(spark):
     assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
 
 
+def test_scrub_pii_redacts_all_occurrences(spark):
+    """Hand-written PII text: every occurrence of every pattern type is
+    redacted (Spark regexp_replace is global; the DuckDB oracle needs
+    the explicit 'g' flag — this pins the Spark half of that contract),
+    counts come from the RAW text, and clean text passes untouched."""
+    from opencv_table_extraction_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, host 10.0.0.1 "
+                "tel 123-456-7890 or 12-345-678"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 2)
+    assert r1["scrubbed"] == (
+        "mail <EMAIL> and <EMAIL>, host <IP> tel <PHONE> or <PHONE>"
+    )
+    r2 = got[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["scrubbed"] == "no pii here at all"
+
+
 def test_repetition_stats_kernel():
     """Hand-computed expectations for the Gopher-style repetition
     metrics, covering the shapes the parquet corpus lacks (it has no
