@@ -890,6 +890,8 @@ FROM t GROUP BY conv_id
 #                            keeps eleven driver-graded rows)
 #   text_scrub_pii          (r6 addition — planted-PII redaction pass,
 #                            pure JVM regexp algebra)
+#   text_sample_by_quality  (r6 addition — quality-stratified
+#                            deterministic downsampling, salted md5)
 _EXTRA = {
     "semi_join_f_customers",
     "event_sliding_counts",
@@ -899,6 +901,7 @@ _EXTRA = {
     "text_repetition_stats",
     "dedup_containment_pairs",
     "text_scrub_pii",
+    "text_sample_by_quality",
 }
 
 

@@ -583,6 +583,87 @@ LEFT JOIN tstat t USING (doc_id)
 """
 
 
+def _q_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified deterministic downsampling — the curation step
+    between quality scoring and train/test splitting (FineWeb-Edu-style
+    quality-weighted corpus shaping): high-quality docs keep rate 100%,
+    mid 50%, low 10%. The keep decision hashes a SALTED stable key
+    (md5('sample:' || doc_id)) so it is reproducible across runs,
+    partitionings, and engines, a doc keeps its fate as the corpus
+    grows, AND the sampling hash is independent of train_test_split's
+    unsalted md5 — sampling does not bias the split. Strata reuse the
+    exact quality_score expressions (rounded stop_ratio, token bounds)
+    so the two queries agree on what "quality" means. Pure JVM, zero
+    shuffle, one pass."""
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.trim(F.lower("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(tokens)
+    stop_ratio = F.round(
+        F.size(F.filter(tokens, lambda w: F.array_contains(stop_arr, w)))
+        .cast("double") / n_tok,
+        4,
+    )
+    ok = (n_tok >= 10) & (n_tok <= 2000) & (stop_ratio <= F.lit(0.6))
+    stratum = (
+        F.when(ok & (stop_ratio <= F.lit(0.3)), "high")
+        .when(ok, "mid")
+        .otherwise("low")
+    )
+    rate = (
+        F.when(F.col("stratum") == "high", 100)
+        .when(F.col("stratum") == "mid", 50)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    return (
+        d.select(
+            "doc_id",
+            stratum.alias("stratum"),
+            bucket.alias("sample_bucket"),
+        )
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
+_SQL_SAMPLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         round(CAST(len(list_filter(toks,
+               w -> w IN ('the','a','of','and','to','in','is')))
+               AS DOUBLE) / len(toks), 4) AS sr
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CASE WHEN n_tok >= 10 AND n_tok <= 2000 AND sr <= 0.6
+              THEN CASE WHEN sr <= 0.3 THEN 'high' ELSE 'mid' END
+              ELSE 'low' END AS stratum,
+         list_reduce(list_transform(range(1, 9),
+           p -> CAST(strpos('0123456789abcdef',
+                    substring(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                              CAST(p AS INT), 1)) - 1
+                AS BIGINT)),
+           (a, x) -> a * 16 + x) % 100 AS sample_bucket
+  FROM q)
+SELECT doc_id, stratum, sample_bucket
+FROM s
+WHERE sample_bucket < CASE stratum WHEN 'high' THEN 100
+                                   WHEN 'mid' THEN 50 ELSE 10 END
+"""
+
+
 # PII redaction patterns, applied in order. RE2-safe subset on purpose
 # (character classes, bounded quantifiers, groups — no lookaround or
 # backreferences): the Spark side runs Java regex, the DuckDB oracle
@@ -681,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_token_shards": _q_pack_token_shards,
         "text_repetition_stats": _q_repetition_stats,
         "text_scrub_pii": _q_scrub_pii,
+        "text_sample_by_quality": _q_sample_by_quality,
     }
 
 
@@ -695,4 +777,5 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_token_shards": _SQL_PACK,
         "text_repetition_stats": _SQL_REPETITION,
         "text_scrub_pii": _SQL_SCRUB_PII,
+        "text_sample_by_quality": _SQL_SAMPLE,
     }

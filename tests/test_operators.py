@@ -723,6 +723,49 @@ def test_connected_components_auto_mode(spark):
     assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
 
 
+def test_sample_by_quality_strata_and_rates(spark, tmp_path):
+    """Constructed docs across all three strata (the parquet corpus is
+    ~all 'high', so the mid/low rate paths need planting): the kept set
+    must equal an INDEPENDENT hashlib-md5 truth of bucket < rate —
+    pinning the Spark md5/conv arithmetic, the stratum assignment
+    boundaries, and determinism in one shot."""
+    import hashlib
+
+    from opencv_table_extraction_spark.operators.textstats import (
+        _q_sample_by_quality,
+    )
+
+    high = " ".join(f"tok{i}" for i in range(14)) + " the"  # sr 1/15
+    mid = "the a of and to x1 x2 x3 x4 x5 x6 x7"  # sr 5/12 ~ 0.4167
+    low = "tiny doc"  # 2 tokens < 10
+    rows = [(i, {0: high, 1: mid, 2: low}[i % 3], "s") for i in range(300)]
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["stratum"], r["sample_bucket"])
+        for r in _q_sample_by_quality(spark, str(tmp_path)).collect()
+    }
+
+    def bucket(i):
+        return int(
+            hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16
+        ) % 100
+
+    strat = {0: ("high", 100), 1: ("mid", 50), 2: ("low", 10)}
+    expect = {
+        i: (strat[i % 3][0], bucket(i))
+        for i in range(300)
+        if bucket(i) < strat[i % 3][1]
+    }
+    assert got == expect
+    # all three rate paths actually exercised
+    kept = [s for s, _ in got.values()]
+    assert kept.count("high") == 100
+    assert 0 < kept.count("mid") < 100
+    assert 0 < kept.count("low") < 50
+
+
 def test_scrub_pii_redacts_all_occurrences(spark):
     """Hand-written PII text: every occurrence of every pattern type is
     redacted (Spark regexp_replace is global; the DuckDB oracle needs
