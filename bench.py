@@ -262,13 +262,22 @@ def main() -> None:
         },
     }
     line = json.dumps(summary)
-    assert len(line) < 2000, f"stdout line must stay driver-parseable: {len(line)}"
+    if len(line) >= 2000:
+        # Degrade gracefully (never abort a finished run over formatting):
+        # the stdout line must stay driver-parseable, so if the per-query
+        # map ever grows it past 2 KB, drop the map from stdout — the side
+        # file below keeps the full detail — instead of asserting away the
+        # whole expensive benchmark.
+        summary = {k: v for k, v in summary.items() if k != "queries"}
+        summary["queries_detail"] = "BENCH/bench_last_full.json"
+        line = json.dumps(summary)
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
         with open(full_path, "w") as f:
             json.dump(
                 {
                     **summary,
+                    "queries": results,
                     "gate_config": {
                         "max_load": gate_max,
                         "max_cotenant_cpus": qgate,
@@ -282,8 +291,11 @@ def main() -> None:
             )
     except OSError as e:  # the stdout contract must survive a bad disk
         print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
-    print(line)
-    spark.stop()
+    finally:
+        # the one-line contract and session teardown hold even if the
+        # side-file write raises something unexpected
+        print(line)
+        spark.stop()
 
 
 if __name__ == "__main__":

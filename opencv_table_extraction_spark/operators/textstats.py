@@ -680,18 +680,18 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction — the standard pre-release scrub pass (emails, IPs,
     phone-shaped numbers -> typed placeholders) every corpus pipeline
     runs before training or publication. Pure JVM expression algebra:
-    one regexp_count per pattern on the RAW text plus one nested
-    regexp_replace chain — zero Python, zero shuffle, whole-stage
-    codegen keeps it inside the scan's stage. Patterns apply in
-    PII_PATTERNS order; counts are per-pattern on the unscrubbed text
-    (documented: a value matching two patterns is counted by both but
-    redacted by the first)."""
+    one regexp_count per pattern plus one nested regexp_replace chain —
+    zero Python, zero shuffle, whole-stage codegen keeps it inside the
+    scan's stage. Patterns apply in PII_PATTERNS order, and each
+    pattern's count is taken on the PROGRESSIVELY-scrubbed text (the
+    same string the replace sees), so sum(n_*) equals the number of
+    redactions actually performed — a substring matching two patterns
+    is counted only by the one that redacted it (r6 advice; previously
+    counts ran on the raw text and could over-report)."""
     out = df
     scrubbed = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}s", F.regexp_count(text_col, F.lit(pat))
-        )
+        out = out.withColumn(f"n_{name}s", F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("scrubbed", scrubbed)
 
@@ -733,21 +733,30 @@ WITH base AS (
          ' from 10.' || (c_custkey % 256) || '.' ||
          (c_custkey % 200) || '.' || (c_custkey % 250) ||
          ' segment ' || c_mktsegment AS text
-  FROM customer)
+  FROM customer),
+-- counts mirror the Spark side's progressive semantics: each pattern
+-- counted on the text AFTER the preceding patterns were redacted
+s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+           '<EMAIL>', 'g') AS after_email
+  FROM base),
+s2 AS (
+  SELECT doc_id, text, after_email,
+         regexp_replace(after_email,
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS after_ip
+  FROM s1)
 SELECT doc_id,
        len(regexp_extract_all(text,
            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-       len(regexp_extract_all(text,
+       len(regexp_extract_all(after_email,
            '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
-       len(regexp_extract_all(text,
+       len(regexp_extract_all(after_ip,
            '[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}')) AS n_phones,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text,
-             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+       regexp_replace(after_ip,
          '[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS scrubbed
-FROM base
+FROM s2
 """
 
 

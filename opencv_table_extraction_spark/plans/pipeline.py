@@ -146,17 +146,33 @@ def turn_seq_map(keys: DataFrame, buckets: int | None = None) -> DataFrame:
 
     Ties on (conv_id, turn_idx) get arbitrary distinct ranks — identical
     to the window form's row_number tie-break; the data model's turn_idx
-    is unique per conversation."""
+    is unique per conversation.
+
+    Plan construction is side-effect free: the global (lo, width) bounds
+    come from a 1-row min/max aggregate joined in via a broadcast
+    crossJoin, NOT an eager ``.collect()`` — so merely BUILDING an
+    unbounded plan (e.g. registering a query) launches no Spark job, and
+    the bounds recompute deterministically on any re-execution of the
+    plan (same input => same min/max => identical bucketing across both
+    passes over `keys`; no persist needed). On empty input the crossJoin
+    against the 1-row null aggregate yields an empty frame with the same
+    (conv_id, turn_idx, turn_seq) schema."""
     spark = keys.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism * 4
     k = keys.select("conv_id", "turn_idx")
-    rng = k.agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")).collect()[0]
-    if rng["lo"] is None:  # empty input
-        return k.withColumn("turn_seq", F.lit(None).cast("int"))
-    lo, span = int(rng["lo"]), int(rng["hi"]) - int(rng["lo"]) + 1
-    width = max(1, -(-span // buckets))  # ceil
-    b = k.withColumn(
-        "_bkt", F.floor((F.col("turn_idx") - F.lit(lo)) / F.lit(width)).cast("int")
+    bounds = k.agg(
+        F.min("turn_idx").alias("_lo"),
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.max("turn_idx") - F.min("turn_idx") + 1) / F.lit(buckets)),
+        ).alias("_w"),
+    )
+    b = (
+        k.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bkt", F.floor((F.col("turn_idx") - F.col("_lo")) / F.col("_w")).cast("int")
+        )
+        .drop("_lo", "_w")
     )
     counts = b.groupBy("conv_id", "_bkt").agg(F.count("*").alias("_c"))
     w_off = Window.partitionBy("conv_id").orderBy("_bkt")

@@ -770,7 +770,11 @@ def test_scrub_pii_redacts_all_occurrences(spark):
     """Hand-written PII text: every occurrence of every pattern type is
     redacted (Spark regexp_replace is global; the DuckDB oracle needs
     the explicit 'g' flag — this pins the Spark half of that contract),
-    counts come from the RAW text, and clean text passes untouched."""
+    clean text passes untouched, and counts equal redactions: each
+    pattern counts on the progressively-scrubbed text (r6 advice), so a
+    substring matching two patterns is counted only by the pattern that
+    redacted it — pinned by doc 3, where the phone-shaped email local
+    part must NOT inflate n_phones."""
     from opencv_table_extraction_spark.operators.textstats import scrub_pii
 
     df = spark.createDataFrame(
@@ -778,6 +782,7 @@ def test_scrub_pii_redacts_all_occurrences(spark):
             (1, "mail a@b.com and c.d+x@e.org, host 10.0.0.1 "
                 "tel 123-456-7890 or 12-345-678"),
             (2, "no pii here at all"),
+            (3, "forwarded by 12-345-6789@relay.example.org yesterday"),
         ],
         ["doc_id", "text"],
     )
@@ -790,6 +795,17 @@ def test_scrub_pii_redacts_all_occurrences(spark):
     r2 = got[2]
     assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
     assert r2["scrubbed"] == "no pii here at all"
+    r3 = got[3]
+    assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (1, 0, 0)
+    assert r3["scrubbed"] == "forwarded by <EMAIL> yesterday"
+    # invariant the progressive counts buy: sum of counts == redactions
+    for r in got.values():
+        assert (
+            r["n_emails"] + r["n_ips"] + r["n_phones"]
+            == r["scrubbed"].count("<EMAIL>")
+            + r["scrubbed"].count("<IP>")
+            + r["scrubbed"].count("<PHONE>")
+        )
 
 
 def test_repetition_stats_kernel():

@@ -231,6 +231,34 @@ def test_turn_seq_unbounded_equals_window_form(spark):
     assert empty.count() == 0
 
 
+def test_turn_seq_plan_construction_is_lazy(spark):
+    """Building an unbounded turn_seq plan must launch no Spark job
+    (r6 advice): the bucket bounds are a lazily-joined 1-row aggregate,
+    not an eager collect. Proven by constructing the plan over keys
+    whose evaluation RAISES — construction succeeds, execution fails."""
+    import pytest
+    from pyspark.sql.types import StructType, StructField, StringType, IntegerType
+
+    from opencv_table_extraction_spark.plans import with_turn_seq
+
+    def boom(_it):
+        raise RuntimeError("keys must not be evaluated at plan build")
+        yield  # pragma: no cover
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = spark.createDataFrame([("c", 1, "t")], schema).mapInPandas(boom, schema)
+    plan = with_turn_seq(df, unbounded=True)  # must not raise
+    assert "turn_seq" in plan.columns
+    with pytest.raises(Exception):
+        plan.count()
+
+
 def test_unbounded_turn_seq_runs_kernel_once(spark, fixture_dir):
     """The unbounded turn_seq form takes its ordinal keys from the
     INPUT (a pruned JVM-only re-scan), never from the kernel output —
@@ -247,4 +275,6 @@ def test_unbounded_turn_seq_runs_kernel_once(spark, fixture_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert sum("text" in s for s in schemas) == 1
     assert sum("text" not in s for s in schemas) >= 1
-    assert all("text" in s or ("conv_id" in s and "turn_idx" in s) for s in schemas)
+    # keys-branch scans are (conv_id, turn_idx); the lazy bounds
+    # aggregate prunes further to turn_idx alone
+    assert all("text" in s or ("turn_idx" in s and "role" not in s) for s in schemas)
