@@ -417,12 +417,45 @@ def _jaccard_verify_batches(batches):
         )
 
 
+# Named banding profiles, measured on the r6 sf1-equivalent sweep
+# (200k docs, BENCH/BASELINE.md): the knob a caller actually wants —
+# recall target — instead of raw (n_bands, n_hashes).
+#   standard: 16 bands x 2 rows — 99.982% measured recall, every miss
+#             at J in [0.5, 0.575] (the S-curve tail), leanest band
+#             exchange; the 100-TB default.
+#   high:     32 bands x 2 rows — PERFECT measured recall
+#             (102,615/102,615 pairs, 0 extra) at ~1.3x warm wall and
+#             2x band-exchange volume; for near-threshold-critical runs.
+# (32x1 single-row bands also measured perfect but ~8x wall — the
+# verify leg dominates; deliberately not a profile.)
+RECALL_PROFILES: dict[str, tuple[int, int]] = {
+    "standard": (N_BANDS, 2 * N_BANDS),
+    "high": (32, 64),
+}
+
+
+def _resolve_recall(
+    recall: str | None, n_bands: int, n_hashes: int | None
+) -> tuple[int, int | None]:
+    if recall is None:
+        return n_bands, n_hashes
+    if recall not in RECALL_PROFILES:
+        raise ValueError(
+            f"unknown recall profile {recall!r}: use one of "
+            f"{sorted(RECALL_PROFILES)} or pass n_bands/n_hashes directly"
+        )
+    if n_bands != N_BANDS or n_hashes is not None:
+        raise ValueError("pass either recall= or n_bands/n_hashes, not both")
+    return RECALL_PROFILES[recall]
+
+
 def minhash_lsh_pairs_with_drops(
     corpus: DataFrame,
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
     n_hashes: int | None = None,
+    recall: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash + LSH banding near-dup pairs, fully distributed:
       1. per-doc signature -> band keys (narrow Arrow kernel);
@@ -442,13 +475,16 @@ def minhash_lsh_pairs_with_drops(
     n_hashes=32) also perfect recall but ~8x wall — single-row bands
     admit every J-similar pair as a candidate, so the verify leg
     dominates. Raise n_bands to 32 when near-threshold recall matters
-    more than shuffle volume.
+    more than shuffle volume — or just say what you mean with
+    ``recall="standard"|"high"`` (RECALL_PROFILES carries the measured
+    tradeoff; mutually exclusive with explicit n_bands/n_hashes).
 
     Returns ``(pairs, dropped)`` — the explicit telemetry contract: the
     ``dropped`` frame (band_id, band_hash, n) enumerates every excluded
     bucket, is lazy (evaluating it re-runs the banding subtree), and is
     certified by the ``dedup_dropped_buckets`` driver query.
     """
+    n_bands, n_hashes = _resolve_recall(recall, n_bands, n_hashes)
     docs = corpus.select("doc_id", "text")
     bands = minhash_band_rows(
         docs, n_hashes=(2 * n_bands if n_hashes is None else n_hashes),
@@ -488,6 +524,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
     n_hashes: int | None = None,
+    recall: str | None = None,
 ) -> DataFrame:
     """Pairs-only convenience wrapper over minhash_lsh_pairs_with_drops.
     Drop telemetry has exactly ONE contract: the ``_with_drops`` form's
@@ -495,7 +532,7 @@ def minhash_lsh_pairs(
     wrapper is for callers that consciously ignore drops."""
     pairs, _ = minhash_lsh_pairs_with_drops(
         corpus, n_bands=n_bands, threshold=threshold, max_bucket=max_bucket,
-        n_hashes=n_hashes,
+        n_hashes=n_hashes, recall=recall,
     )
     return pairs
 
@@ -946,7 +983,7 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-def pairs_crosscheck(corpus: DataFrame) -> DataFrame:
+def pairs_crosscheck(corpus: DataFrame, recall: str | None = None) -> DataFrame:
     """Exact-recall cross-check of the two INDEPENDENT near-dup pair
     generators — probabilistic minhash-LSH banding vs the exact PPJoin
     prefix filter — on the same corpus at the same threshold (0.5).
@@ -963,8 +1000,13 @@ def pairs_crosscheck(corpus: DataFrame) -> DataFrame:
     keys-only — cheap relative to either verify stage). At sf0.01 the
     DuckDB oracle recomputes the truth by brute force; at scales where
     the quadratic oracle is infeasible the row is SELF-certifying
-    (tools/check_queries.py asserts diff == drops == 0 Spark-side)."""
-    lsh, d_lsh = minhash_lsh_pairs_with_drops(corpus)
+    (tools/check_queries.py asserts diff == drops == 0 Spark-side).
+
+    ``recall`` selects the LSH banding profile under test (see
+    RECALL_PROFILES); the exact-PPJoin side is profile-independent, so
+    a ``recall="high"`` run directly measures that profile's recall
+    against exact truth."""
+    lsh, d_lsh = minhash_lsh_pairs_with_drops(corpus, recall=recall)
     pre, d_pre = jaccard_prefix_pairs_with_drops(corpus)
     # both generators emit distinct canonical keys by construction, but
     # the comparison must not DEPEND on it: a duplicated (a_id, b_id) on
@@ -1848,13 +1890,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper assignment over the Manku-banded simhash pair graph — the
     end-to-end 'pairs -> decisions' path, exactly mirrored by a DuckDB
     recursive-CTE transitive closure (the oracle is mode-independent:
-    it checks the OUTPUT clustering). Runs the twostar scale mode: the
-    sf0.1 pair graph has diameter ~19, so min-label propagation costs
-    19 join rounds (measured 245 s solo) while the alternating star
-    contraction converges in 5 (27 s) — and both emit identical rows
-    (property-tested; also verified row-identical on this corpus)."""
+    it checks the OUTPUT clustering). Runs ``mode="auto"`` — the mode
+    callers should not have to choose (r6 verdict #6): min-label for up
+    to 6 rounds, then on non-convergence two-star contraction on the
+    original pairs. On THIS corpus the pair graph has diameter ~19, so
+    auto burns its 6-round min-label budget (~0.5-0.7 s/round over the
+    small label frame) and lands in two-star (converges in 5 rounds,
+    measured 27 s solo vs min-label's 245) — certifying in the driver
+    file the exact path a caller gets by default. Output is
+    mode-independent (property-tested equal across all three modes)."""
     pairs = _q_simhash_pairs_scale(spark, sf_dir)
-    return connected_components_pairs(pairs, mode="twostar")
+    return connected_components_pairs(pairs, mode="auto")
 
 
 _SQL_COMP_CTES = f"""

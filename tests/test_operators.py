@@ -111,6 +111,39 @@ def test_minhash_band_scaling_keeps_two_row_bands(spark):
     assert p16 <= p32
 
 
+def test_lsh_recall_profiles(spark):
+    """recall="standard"|"high" is the named form of the measured
+    banding tradeoff (r6 verdict #5): high must resolve to exactly the
+    32x2 configuration, unknown/conflicting arguments must fail fast,
+    and the crosscheck accepts the profile so the high-profile
+    generator can be measured against exact PPJoin truth."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        RECALL_PROFILES,
+        dedup_corpus,
+        minhash_lsh_pairs,
+        pairs_crosscheck,
+    )
+
+    assert RECALL_PROFILES == {"standard": (16, 32), "high": (32, 64)}
+    corpus = dedup_corpus(spark, SF)
+    with pytest.raises(ValueError, match="unknown recall profile"):
+        minhash_lsh_pairs(corpus, recall="maximum")
+    with pytest.raises(ValueError, match="not both"):
+        minhash_lsh_pairs(corpus, recall="high", n_bands=32)
+
+    hi = {(r["a_id"], r["b_id"])
+          for r in minhash_lsh_pairs(corpus, recall="high").collect()}
+    explicit = {(r["a_id"], r["b_id"])
+                for r in minhash_lsh_pairs(corpus, n_bands=32).collect()}
+    std = {(r["a_id"], r["b_id"])
+           for r in minhash_lsh_pairs(corpus, recall="standard").collect()}
+    assert hi == explicit and std <= hi
+
+    r = pairs_crosscheck(corpus, recall="high").collect()[0]
+    assert r["n_symmetric_diff"] == 0
+    assert r["n_dropped_lsh"] == 0 and r["n_dropped_prefix"] == 0
+
+
 def test_minhash_family_collision_rate_tracks_jaccard():
     """Statistical pin on the hash family: (1) per-hash collision rate
     = shingle Jaccard on real doc pairs (Broder unbiasedness), and

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from types import SimpleNamespace
 
 import duckdb
 import pandas as pd
@@ -19,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _crosscheck_invariant(sdf: pd.DataFrame) -> list[str]:
+def _crosscheck_invariant(sdf: pd.DataFrame, ctx) -> list[str]:
     """Self-certifying check for dedup_pairs_crosscheck at scales where
     the brute-force DuckDB oracle is infeasible: the two INDEPENDENT
     Spark generators (probabilistic LSH vs exact PPJoin) must agree
@@ -44,10 +45,97 @@ def _crosscheck_invariant(sdf: pd.DataFrame) -> list[str]:
     return errs
 
 
+# The n-gram shingle expression shared by the containment invariant —
+# identical to the one inside dedup._SQL_CONTAINMENT (3-gram, partial
+# tail shingles via the slice clamp, list_distinct).
+_SH = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(string_split_regex(trim({c}), '\\s+')) - 3, 0) + 1),"
+    " i -> array_to_string(string_split_regex(trim({c}), '\\s+')[i+1:i+3], ' ')))"
+)
+
+
+def _containment_invariant(sdf: pd.DataFrame, ctx) -> list[str]:
+    """Self-certifying check for dedup_containment_pairs at scales where
+    the quadratic all-pairs oracle is infeasible (r6 verdict #3). Two
+    legs, both independent of the Spark generator's candidate logic:
+
+    1. PLANTED partial oracle, O(N) not O(N^2): the dedup corpus plants
+       one truncated twin per document, so DuckDB can compute the true
+       C(twin, base) for exactly those N pairs with a linear per-doc
+       shingle comparison. Every planted pair with true C >= 0.8 must
+       appear in the Spark output with the same (4-dp) containment;
+       docs whose twin falls below threshold (short docs — truncation
+       can remove >20% of a short doc's distinct shingles) must be
+       absent. At sf0.1 this independently certifies ~10k of the true
+       pairs, including every C=1.0 subsumption.
+    2. Zero drops Spark-side: the generator's exactness contract is
+       'exact whenever dropped is empty' — re-evaluate the lazy drop
+       frame (keys-only banding subtree) and require 0 rows.
+    """
+    from opencv_table_extraction_spark.operators.dedup import (
+        containment_pairs_with_drops,
+        dedup_corpus,
+    )
+
+    errs: list[str] = []
+    trunc = (
+        "array_to_string(string_split_regex(trim(text), '\\s+')"
+        "[1:CAST(floor(len(string_split_regex(trim(text), '\\s+')) * 0.9) AS INT)], ' ')"
+    )
+    truth = ctx.con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, {_SH.format(c='text')} AS bsh,
+                 {_SH.format(c=trunc)} AS tsh
+          FROM documents)
+        SELECT doc_id,
+               round(CAST(len(list_intersect(tsh, bsh)) AS DOUBLE)
+                     / nullif(len(tsh), 0), 4) AS c
+        FROM t
+        """
+    ).df()
+    got = {
+        (int(a), int(b)): float(c)
+        for a, b, c in zip(sdf["a_id"], sdf["b_id"], sdf["containment"])
+    }
+    n_expected = 0
+    for d, c in zip(truth["doc_id"], truth["c"]):
+        key = (int(d) + 1_000_000, int(d))
+        if pd.notna(c) and c >= 0.8:
+            n_expected += 1
+            if key not in got:
+                errs.append(f"planted pair {key} (true C={c}) missing")
+            elif abs(got[key] - c) > 1e-9:
+                errs.append(f"planted pair {key}: spark {got[key]} != true {c}")
+        elif key in got:
+            errs.append(f"pair {key} reported but true C={c} < 0.8")
+        if len(errs) >= 5:
+            errs.append("... (truncated)")
+            break
+    if n_expected == 0:
+        errs.append("vacuous: no planted pair clears the threshold")
+    _, dropped = containment_pairs_with_drops(dedup_corpus(ctx.spark, ctx.sf_dir))
+    n_drop = dropped.count()
+    if n_drop:
+        errs.append(f"{n_drop} dropped hot shingles (exactness contract broken)")
+    if not errs:
+        print(
+            f"      ... containment invariant: {n_expected} planted pairs "
+            f"all found value-exact, 0 drops"
+        )
+    return errs
+
+
 # queries whose ORACLE is quadratic but whose Spark-side output carries
 # its own invariant: run with --invariant=<name> to certify Spark-side
-# when the oracle is out of reach (the sf0.1 sweep path)
-INVARIANT_CHECKS = {"dedup_pairs_crosscheck": _crosscheck_invariant}
+# when the oracle is out of reach (the sf0.1 sweep path). Checks take
+# (spark_result_df, ctx) where ctx carries .con (DuckDB with the table
+# views), .spark, and .sf_dir.
+INVARIANT_CHECKS = {
+    "dedup_pairs_crosscheck": _crosscheck_invariant,
+    "dedup_containment_pairs": _containment_invariant,
+}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -98,6 +186,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    ctx = SimpleNamespace(con=con, spark=spark, sf_dir=sf_dir)
 
     from opencv_table_extraction_spark.operators.similarity import (
         IVF_RECALL_ORACLE_SF,
@@ -144,7 +233,7 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name in invariant_only:
-            errs = INVARIANT_CHECKS[name](sdf)
+            errs = INVARIANT_CHECKS[name](sdf, ctx)
             if errs:
                 print(f"FAIL  {name:32s} invariant: {'; '.join(errs)}")
                 failures.append(name)
