@@ -871,37 +871,40 @@ FROM t GROUP BY conv_id
 # member — and the redundant-within-family rows live in
 # ``extra_queries()`` / ``extra_oracle_sql()`` below, which
 # tools/check_queries.py verifies in every sweep with the same
-# oracle contract (they are certified, just not driver-graded):
-#   semi_join_f_customers   (joins keep equi/broadcast/anti/as-of rows)
-#   event_sliding_counts    (windows keep tumbling/session/native rows)
-#   top_bigrams             (text keeps seven certified rows)
-#   region_nations          (aggregation keeps pricing/segment/part/lineage)
-#   dedup_simhash_pairs     (the guarded quadratic radius-12 exactness
-#                            mode; dedup_simhash certifies the 64-bit
-#                            hash per doc and dedup_simhash_pairs_scale
-#                            the at-scale Manku banding)
-#   text_repetition_stats   (r6 addition — the Gopher/FineWeb
-#                            duplicate-line/bigram/trigram quality
-#                            family; text keeps seven driver-graded
-#                            rows, this one is sweep-certified)
-#   dedup_containment_pairs (r6 addition — asymmetric containment
-#                            prefix-filter join, the quote/subsumption
-#                            detector symmetric Jaccard misses; dedup
-#                            keeps eleven driver-graded rows)
-#   text_scrub_pii          (r6 addition — planted-PII redaction pass,
-#                            pure JVM regexp algebra)
-#   text_sample_by_quality  (r6 addition — quality-stratified
-#                            deterministic downsampling, salted md5)
+# oracle contract (they are certified, just not driver-graded).
+#
+# STANDING ROTATION RULE (r6 verdict #1): new operators are
+# driver-graded in their DEBUT round; long-stable rows whose operator
+# family keeps other graded coverage rotate into extras to stay under
+# the 50-row cap. r7 rotation: the four r6 operators
+# (text_repetition_stats, text_scrub_pii, text_sample_by_quality,
+# dedup_containment_pairs) plus the new sim_ivf_batch_search move INTO
+# the graded registry; five veterans move out:
+#   semi_join_f_customers      (joins keep equi/broadcast/anti/as-of rows)
+#   event_sliding_counts       (windows keep session/native/olympic rows)
+#   top_bigrams                (text keeps seven+ certified rows)
+#   region_nations             (aggregation keeps pricing/segment/lineage)
+#   dedup_simhash_pairs        (guarded quadratic radius-12 exactness
+#                               mode; dedup_simhash certifies the hash,
+#                               _pairs_scale the at-scale banding)
+#   union_distinct_nations     (set ops; r7 rotation — was graded r1-r6)
+#   event_tumbling_counts      (windows; r7 rotation — was graded r1-r6)
+#   part_type_revenue          (aggregation; r7 rotation)
+#   anti_join_quiet_customers  (joins; r7 rotation — semi/anti family
+#                               keeps the graded events_asof rows)
+#   event_rollup_counts        (ROLLUP, §2.C extra; r7 rotation to make
+#                               room for sim_ivf_batch_search)
 _EXTRA = {
     "semi_join_f_customers",
     "event_sliding_counts",
     "top_bigrams",
     "region_nations",
     "dedup_simhash_pairs",
-    "text_repetition_stats",
-    "dedup_containment_pairs",
-    "text_scrub_pii",
-    "text_sample_by_quality",
+    "union_distinct_nations",
+    "event_tumbling_counts",
+    "part_type_revenue",
+    "anti_join_quiet_customers",
+    "event_rollup_counts",
 }
 
 

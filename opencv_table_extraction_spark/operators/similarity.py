@@ -10,12 +10,15 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TOP_K = 10
 N_CENTROIDS = 8
 QUERY_VEC_ID = 0
+# the deterministic M-query batch the driver-graded batch-search row
+# uses (any fixed id set works; spread across the corpus)
+QUERY_BATCH_IDS = (0, 11, 22, 33, 44, 55, 66, 77)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +296,149 @@ def ivf_search_store(
     )
 
 
+def probe_assignments(
+    queries: DataFrame, cents: list[list[float]], n_probe: int
+) -> DataFrame:
+    """(query_id, embedding) -> one row per (query, probe centroid):
+    (query_id, centroid_id, q_embedding). The batch analogue of
+    _select_probe, computed fully JVM-side so M can be millions: score
+    the K-entry literal codebook per query (narrow, zero shuffle — the
+    sim_ivf_assign shape), sort (cos desc, centroid_id asc) via an
+    array_sort over (neg-cos, id) structs, keep the first n_probe."""
+    cent_arr = _kmeans_lit(cents)
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    scored = queries.withColumn(
+        "_scores", F.transform(cent_arr, lambda c: cosine(F.col("embedding"), c))
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            "_scores",
+            idx,
+            lambda s, i: F.struct((-s).alias("neg_cos"), i.alias("cid")),
+        )
+    )
+    return scored.select(
+        "query_id",
+        F.col("embedding").alias("q_embedding"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("_p"),
+    ).select(
+        "query_id", F.col("_p.cid").cast("bigint").alias("centroid_id"), "q_embedding"
+    )
+
+
+def ivf_batch_search(
+    store: DataFrame,
+    cents: list[list[float]],
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = TOP_K,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched-query IVF search — the operator a training-data pipeline
+    actually runs (r6 verdict #4): kNN for a whole query FRAME (e.g.
+    dedup of a new shard against a reference corpus store), not one
+    broadcast vector.
+
+    ``store`` is any (vec_id, embedding, centroid_id) frame — an
+    in-session assignment or a read of an ivf_write_partitioned store.
+    ``queries`` is (query_id, embedding), M rows.
+
+    100-TB shape, in order:
+      1. probe_assignments builds the (query_id, centroid_id) probe
+         block — M * n_probe rows, embeddings included — and BROADCASTS
+         it: the store side (the 10^12-row table) never shuffles.
+      2. Against a partitioned store the broadcast equi-join on
+         centroid_id triggers DYNAMIC PARTITION PRUNING: only the
+         union of probed buckets' files is ever read (plan-tested:
+         dynamicpruning PartitionFilters) — no driver-side collect of
+         probe ids needed.
+      3. Scores project to (query_id, vec_id, cos) BEFORE the top-k
+         exchange, so the only shuffle carries 3 scalar columns, never
+         embeddings; per-query candidate volume is bounded by
+         n_probe * max-bucket-rows.
+      4. Per-query top-k = row_number window on (cos desc, vec_id) —
+         cos is rounded to 4dp first (the repo-wide determinism
+         contract, same as sim_embedding_topk: full-double ordering is
+         accumulation-order-sensitive; 4dp + id tiebreak is stable
+         across engines and partitionings).
+
+    Returns (query_id, vec_id, cos, rank), rank 1-based."""
+    qp = probe_assignments(queries, cents, n_probe)
+    scored = store.join(F.broadcast(qp), "centroid_id")
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def assigned_store(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """The in-session store shape: embeddings + their centroid bucket
+    (what ivf_write_partitioned persists, minus the physical layout)."""
+    return e.join(
+        assign_to_codebook(e, _kmeans_lit(cents)).select("vec_id", "centroid_id"),
+        "vec_id",
+    ).select("vec_id", "embedding", "centroid_id")
+
+
+def _q_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded certification of ivf_batch_search: for each of the
+    8 fixed batch queries, the probed (n_probe=2 of 8) top-10 vs the
+    exact per-query brute-force top-10, BOTH computed in Spark. Output
+    per query: n_found / recall / both id CSVs. The DuckDB oracle
+    re-derives the brute-force side for real (per-query exact top-k is
+    SQL-expressible) and pins only the IVF side as the planted
+    deterministic outcome (decimal k-means + tie-broken argmax + fixed
+    corpus — same rationale as _SQL_IVF_RECALL), anchored to sf0.01."""
+    e = _emb(spark, sf_dir)
+    cents = kmeans_centroids(e)
+    queries = e.where(F.col("vec_id").isin(list(QUERY_BATCH_IDS))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_batch_search(assigned_store(e, cents), cents, queries).select(
+        "query_id", "vec_id"
+    )
+    brute = (
+        e.crossJoin(F.broadcast(queries.select("query_id", F.col("embedding").alias("q_embedding"))))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    brute = (
+        brute.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    _csv = lambda: F.array_join(  # noqa: E731
+        F.transform(F.array_sort(F.collect_list("vec_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    hits = ivf.join(brute.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
+    ivf_agg = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("int").alias("n_found"),
+        _csv().alias("ivf_ids_csv"),
+    )
+    brute_agg = brute.groupBy("query_id").agg(_csv().alias("brute_ids_csv"))
+    return ivf_agg.join(brute_agg, "query_id").select(
+        "query_id",
+        F.lit(TOP_K).alias("k"),
+        "n_found",
+        F.round(F.col("n_found") / F.lit(TOP_K), 4).alias("recall"),
+        "ivf_ids_csv",
+        "brute_ids_csv",
+    )
+
+
 def _q_ivf_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible certification of the approximate search path:
     recall of ivf_search(n_probe=2 of 8 buckets) against the exact
@@ -393,6 +539,57 @@ def _q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batch-search oracle: the brute-force half is DERIVED FOR REAL (exact
+# per-query top-k is SQL-expressible — window row_number over rounded
+# cosine, identical ordering contract), so DuckDB independently
+# recomputes brute_ids_csv and the n_found/recall arithmetic; only
+# ivf_ids_csv is the planted deterministic outcome (k-means bucketing
+# is not SQL-expressible — same rationale as _SQL_IVF_RECALL). Anchored
+# to sf0.01. Batch-average recall 0.525 at n_probe=2 of 8 — the honest
+# number on UNIFORM-RANDOM synthetic embeddings (no cluster structure
+# for IVF to exploit; the no-structure baseline is n_probe/K = 0.25).
+_SQL_IVF_BATCH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN {QUERY_BATCH_IDS}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id),
+brute AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored),
+bt AS (
+  SELECT query_id, list_sort(list(vec_id)) AS bids
+  FROM brute WHERE rn <= 10 GROUP BY query_id),
+planted(query_id, ivf_ids_csv) AS (VALUES
+  (0,  '7,73,190,320,334,365,387,388,423,483'),
+  (11, '5,30,78,93,145,233,252,277,399,465'),
+  (22, '36,157,198,327,337,383,397,431,436,498'),
+  (33, '5,45,92,180,185,266,279,442,451,464'),
+  (44, '38,39,125,207,285,301,315,326,402,406'),
+  (55, '13,42,110,166,195,220,298,467,472,477'),
+  (66, '59,81,175,176,180,247,306,323,368,486'),
+  (77, '41,129,130,174,190,264,343,422,423,441')),
+iv AS (
+  SELECT query_id, ivf_ids_csv,
+         list_transform(string_split(ivf_ids_csv, ','),
+                        s -> CAST(s AS BIGINT)) AS iids
+  FROM planted)
+SELECT iv.query_id, 10 AS k,
+       CAST(len(list_intersect(iids, bids)) AS INT) AS n_found,
+       round(CAST(len(list_intersect(iids, bids)) AS DOUBLE) / 10, 4) AS recall,
+       iv.ivf_ids_csv,
+       array_to_string(list_transform(bids, x -> CAST(x AS VARCHAR)), ',')
+         AS brute_ids_csv
+FROM iv JOIN bt USING (query_id)
+"""
+IVF_BATCH_ORACLE_SF = ("sf0.01",)
+
+
 # Planted expected value (see _SQL_IVF_RECALL's rationale): the pruned
 # store search must return exactly the unpartitioned ivf_search's top-10
 # — pinned id-by-id at sf0.01, equality flags pinned to full agreement.
@@ -409,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assign": _q_ivf_assign,
         "sim_ivf_search_recall": _q_ivf_search_recall,
         "sim_ivf_store_search": _q_ivf_store_search,
+        "sim_ivf_batch_search": _q_ivf_batch_search,
     }
 
 
@@ -418,4 +616,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_assign": _SQL_IVF,
         "sim_ivf_search_recall": _SQL_IVF_RECALL,
         "sim_ivf_store_search": _SQL_IVF_STORE,
+        "sim_ivf_batch_search": _SQL_IVF_BATCH,
     }

@@ -244,3 +244,13 @@ def test_replay_assemble_multi_batch_continuation(spark):
     assert len(em.queries()) == 50
     assert not set(em.queries()) & set(em.extra_queries())
     assert set(em.oracle_sql()) == set(em.queries())
+    # rotation rule: operators debuting in the current round are
+    # driver-graded (r6 verdict #1) — the r6/r7 debuts must be in
+    for debut in (
+        "text_repetition_stats",
+        "text_scrub_pii",
+        "text_sample_by_quality",
+        "dedup_containment_pairs",
+        "sim_ivf_batch_search",
+    ):
+        assert debut in em.queries(), f"{debut} must be driver-graded"

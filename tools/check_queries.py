@@ -189,6 +189,7 @@ def main() -> int:
     ctx = SimpleNamespace(con=con, spark=spark, sf_dir=sf_dir)
 
     from opencv_table_extraction_spark.operators.similarity import (
+        IVF_BATCH_ORACLE_SF,
         IVF_RECALL_ORACLE_SF,
         IVF_STORE_ORACLE_SF,
     )
@@ -198,6 +199,7 @@ def main() -> int:
     sf_anchored = {
         "sim_ivf_search_recall": IVF_RECALL_ORACLE_SF,
         "sim_ivf_store_search": IVF_STORE_ORACLE_SF,
+        "sim_ivf_batch_search": IVF_BATCH_ORACLE_SF,
     }
     sf_base = os.path.basename(sf_dir.rstrip("/"))
 
