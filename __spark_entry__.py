@@ -894,7 +894,11 @@ FROM t GROUP BY conv_id
 #                               keeps the graded events_asof rows)
 #   event_rollup_counts        (ROLLUP, §2.C extra; r7 rotation to make
 #                               room for sim_ivf_batch_search)
+#   dedup_pairs_crosscheck_high (r7, extras by design: same oracle and
+#                               invariant as the graded crosscheck row,
+#                               just the recall="high" banding profile)
 _EXTRA = {
+    "dedup_pairs_crosscheck_high",
     "semi_join_f_customers",
     "event_sliding_counts",
     "top_bigrams",

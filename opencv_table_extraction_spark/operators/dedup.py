@@ -1046,6 +1046,17 @@ def _q_pairs_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_crosscheck(dedup_corpus(spark, sf_dir))
 
 
+def _q_pairs_crosscheck_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crosscheck in the HIGH recall profile (32x2 banding): the
+    r6 sf1 sweep measured this configuration at perfect recall — this
+    extras-tier row re-proves diff == drops == 0 against exact PPJoin
+    truth every sweep, so the profile's claim is a query, not a
+    BENCH/BASELINE.md footnote (r6 verdict #5). Shares the standard
+    crosscheck's oracle/invariant: the expected outcome (set identity
+    with exact truth) is profile-independent wherever both are exact."""
+    return pairs_crosscheck(dedup_corpus(spark, sf_dir), recall="high")
+
+
 # Planted truth: both generators must equal the brute-force pair count
 # (LSH by measured-zero misses on this corpus, prefix by theorem), with
 # zero symmetric difference and zero dropped buckets on either side.
@@ -2165,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix_pairs": _q_jaccard_prefix,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_pairs_crosscheck": _q_pairs_crosscheck,
+        "dedup_pairs_crosscheck_high": _q_pairs_crosscheck_high,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_pairs_scale": _q_simhash_pairs_scale,
@@ -2186,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_prefix_pairs": _SQL_MINHASH,
         "dedup_minhash_lsh_pairs": _SQL_MINHASH,
         "dedup_pairs_crosscheck": _SQL_CROSSCHECK,
+        "dedup_pairs_crosscheck_high": _SQL_CROSSCHECK,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "dedup_simhash_pairs_scale": _SQL_SIMHASH_PAIRS_SCALE,

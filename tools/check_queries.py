@@ -134,6 +134,7 @@ def _containment_invariant(sdf: pd.DataFrame, ctx) -> list[str]:
 # views), .spark, and .sf_dir.
 INVARIANT_CHECKS = {
     "dedup_pairs_crosscheck": _crosscheck_invariant,
+    "dedup_pairs_crosscheck_high": _crosscheck_invariant,
     "dedup_containment_pairs": _containment_invariant,
 }
 
