@@ -1669,19 +1669,40 @@ def _two_star_components(
 
 
 class ComponentsNotConverged(RuntimeError):
-    """Min-label ran out of rounds (pair-graph diameter > max_iter).
+    """Min-label ran out of rounds (pair-graph diameter > max_iter) —
+    or, with ``_bail_ratio`` set, gave up EARLY because the change
+    frontier was not collapsing (the chain-graph signature).
 
     Raised instead of silently emitting split clusters; ``mode="auto"``
     catches exactly this and falls back to the O(log diameter) two-star
-    contraction on the ORIGINAL pairs."""
+    contraction on the ORIGINAL pairs. ``rounds_used`` carries how many
+    propagation rounds ran before the raise."""
+
+    def __init__(self, msg: str, rounds_used: int = 0):
+        super().__init__(msg)
+        self.rounds_used = rounds_used
 
 
-# mode="auto": rounds of min-label to attempt before falling back to
-# two-star. Dense near-dup clusters (the overwhelmingly common shape)
-# converge in 2-4 rounds of the cheaper per-round op (one join + one
-# agg vs two-star's two of each); only a drifting-chain graph burns the
-# whole budget, and the wasted work is bounded: 6 rounds over the small
-# (id, label) frame.
+# mode="auto": frontier-decay bail threshold. A COST heuristic, never a
+# correctness knob (a false bail just takes the equally-correct twostar
+# path): on a dense near-dup cluster (near-clique — the overwhelmingly
+# common shape) the per-round changed-label count collapses
+# geometrically (round 2 is a small fraction of round 1), while on a
+# drifting chain the min label advances ~one hop per round and the
+# frontier stays flat. From round 3 on, if this round changed more than
+# _AUTO_BAIL_RATIO of the previous round's count, the graph is
+# chain-shaped and the remaining budget would be wasted — bail to
+# twostar immediately instead of burning all _AUTO_MINLABEL_ROUNDS
+# (measured r7 at sf0.1/local[32]: the full 6-round budget cost +11 s
+# on the diameter-19 bench graph; bailing at round 3 halves that).
+_AUTO_BAIL_RATIO = 0.5
+
+# mode="auto": max rounds of min-label to attempt before falling back
+# to two-star. Dense near-dup clusters (the overwhelmingly common
+# shape) converge in 2-4 rounds of the cheaper per-round op (one join +
+# one agg vs two-star's two of each); a drifting-chain graph exits via
+# the _AUTO_BAIL_RATIO frontier check at ~round 3, so this cap only
+# bounds the slow-but-still-collapsing middle ground.
 _AUTO_MINLABEL_ROUNDS = 6
 
 
@@ -1691,6 +1712,7 @@ def connected_components_pairs(
     checkpoint_dir: str | None = None,
     mode: str = "minlabel",
     round_counter: list | None = None,
+    _bail_ratio: float | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the operator
     that turns PAIRS into dedup DECISIONS: every doc in a duplicate
@@ -1710,11 +1732,17 @@ def connected_components_pairs(
       property-tested equal to minlabel and to a union-find.
     - ``mode="auto"``: min-label for up to ``_AUTO_MINLABEL_ROUNDS``
       rounds (dense dup clusters converge in 2-4 of the cheaper
-      per-round op), then on ``ComponentsNotConverged`` falls back to
-      two-star on the original pairs — fast on the common dense shape,
+      per-round op) with the ``_AUTO_BAIL_RATIO`` frontier-decay check
+      (r7): if from round 3 the per-round changed-label count is not
+      collapsing (chain signature — the frontier advances one hop per
+      round instead of shrinking geometrically), bail immediately
+      instead of burning the rest of the budget. Either exit path
+      raises ``ComponentsNotConverged`` and falls back to two-star on
+      the original pairs — fast on the common dense shape,
       O(log diameter) on chains, never fails on diameter alone. The
-      output is mode-independent (property-tested), so callers lose
-      nothing by not choosing.
+      output is mode-independent (property-tested; the bail is a cost
+      heuristic only — a false bail just takes the equally-correct
+      two-star path), so callers lose nothing by not choosing.
 
     ``round_counter``: optional list; the number of propagation rounds
     actually used is appended (tests assert the O(log n) bound). Per round: one join + one agg, labels persisted and the
@@ -1757,6 +1785,9 @@ def connected_components_pairs(
                 checkpoint_dir=checkpoint_dir,
                 mode="minlabel",
                 round_counter=round_counter,
+                # frontier-decay early bail (see _AUTO_BAIL_RATIO): on a
+                # chain graph, stop wasting the budget after ~3 rounds
+                _bail_ratio=_AUTO_BAIL_RATIO,
             )
         except ComponentsNotConverged:
             # the failed attempt appended nothing to round_counter and
@@ -1801,6 +1832,7 @@ def connected_components_pairs(
     labels_is_truncated = False
     try:
         changed = -1
+        prev_changed = -1
         for round_idx in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.a_id == labels.id)
@@ -1844,6 +1876,22 @@ def connected_components_pairs(
             labels_is_truncated = truncate
             if changed == 0:
                 break
+            if (
+                _bail_ratio is not None
+                and round_idx >= 2
+                and changed > _bail_ratio * prev_changed
+            ):
+                # frontier not collapsing — the chain-graph signature;
+                # stop burning budget (auto catches this and contracts)
+                raise ComponentsNotConverged(
+                    f"connected_components_pairs: change frontier flat "
+                    f"after {round_idx + 1} rounds ({prev_changed} -> "
+                    f"{changed} changed labels; bail ratio "
+                    f"{_bail_ratio}) — chain-shaped graph, use "
+                    "mode='twostar'/'auto'",
+                    rounds_used=round_idx + 1,
+                )
+            prev_changed = changed
         if changed != 0:
             # fail fast, never emit silently-split clusters: a pair
             # graph with diameter > max_iter (a long drifting-near-dup
@@ -1853,7 +1901,8 @@ def connected_components_pairs(
                 f"{max_iter} rounds ({changed} labels still changing) — "
                 "raise max_iter (rounds needed = pair-graph diameter), or "
                 "use mode='twostar' (O(log diameter) rounds) or "
-                "mode='auto' (falls back to twostar automatically)"
+                "mode='auto' (falls back to twostar automatically)",
+                rounds_used=max_iter,
             )
         if round_counter is not None:
             round_counter.append(round_idx + 1)
@@ -1902,13 +1951,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end 'pairs -> decisions' path, exactly mirrored by a DuckDB
     recursive-CTE transitive closure (the oracle is mode-independent:
     it checks the OUTPUT clustering). Runs ``mode="auto"`` — the mode
-    callers should not have to choose (r6 verdict #6): min-label for up
-    to 6 rounds, then on non-convergence two-star contraction on the
-    original pairs. On THIS corpus the pair graph has diameter ~19, so
-    auto burns its 6-round min-label budget (~0.5-0.7 s/round over the
-    small label frame) and lands in two-star (converges in 5 rounds,
-    measured 27 s solo vs min-label's 245) — certifying in the driver
-    file the exact path a caller gets by default. Output is
+    callers should not have to choose (r6 verdict #6): min-label with
+    the frontier-decay bail, then on non-convergence two-star
+    contraction on the original pairs. On THIS corpus the pair graph
+    has diameter ~19, so auto's min-label leg bails at round 3 (r7
+    measured: 547 -> 401 changed labels, ratio 0.73 > 0.5; 5.3 s at
+    sf0.1/local[32]) and lands in two-star (9.6 s warm) — certifying in
+    the driver file the exact path a caller gets by default, at a
+    measured ~1.5x of pinned-twostar on this adversarial-diameter graph
+    (and ~min-label-optimal on the common dense shape). Output is
     mode-independent (property-tested equal across all three modes)."""
     pairs = _q_simhash_pairs_scale(spark, sf_dir)
     return connected_components_pairs(pairs, mode="auto")

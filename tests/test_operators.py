@@ -755,6 +755,25 @@ def test_connected_components_auto_mode(spark):
     # the two-star fallback's round count (O(log diameter))
     assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
 
+    # r7 frontier-decay bail: on a chain the changed-label count decays
+    # ~one per round (12 -> 11 -> 10 ...), so with _bail_ratio the
+    # min-label leg must give up at round 3, not burn the whole budget
+    # (a COST assertion — auto's output above is already proven equal)
+    import pytest
+    from opencv_table_extraction_spark.operators.dedup import (
+        _AUTO_BAIL_RATIO,
+        ComponentsNotConverged,
+    )
+
+    with pytest.raises(ComponentsNotConverged) as ei:
+        connected_components_pairs(
+            chain, max_iter=20, mode="minlabel", _bail_ratio=_AUTO_BAIL_RATIO
+        )
+    assert ei.value.rounds_used == 3
+    # without the bail, the same call converges (diameter < max_iter)
+    ok = connected_components_pairs(chain, max_iter=20, mode="minlabel")
+    assert ok.count() == 13
+
 
 def test_sample_by_quality_strata_and_rates(spark, tmp_path):
     """Constructed docs across all three strata (the parquet corpus is
