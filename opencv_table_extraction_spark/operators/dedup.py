@@ -1778,6 +1778,13 @@ def connected_components_pairs(
     if mode == "twostar":
         return _two_star_components(pairs, max_iter, checkpoint_dir, round_counter)
     if mode == "auto":
+        # persist the PAIRS input across attempt + fallback: on bail the
+        # two-star leg would otherwise recompute the whole upstream pair
+        # generator (e.g. the simhash banding subtree — measured ~5-7 s
+        # of the r7 bench row, as large as the bail savings themselves).
+        # Safe to release in finally: both legs return eagerly
+        # lineage-truncated frames, self-contained by return time.
+        pairs = pairs.persist()
         try:
             return connected_components_pairs(
                 pairs,
@@ -1795,6 +1802,8 @@ def connected_components_pairs(
             return _two_star_components(
                 pairs, max_iter, checkpoint_dir, round_counter
             )
+        finally:
+            pairs.unpersist()
     if mode != "minlabel":
         raise ValueError(
             f"unknown mode {mode!r}: use 'minlabel', 'twostar', or 'auto'"
