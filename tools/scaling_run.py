@@ -48,7 +48,17 @@ spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(fixture)
 n = df.count()
 
+def stat_jiffies():
+    # (steal, total) jiffies from /proc/stat line 1 — steal is the
+    # hypervisor's co-tenant signal, the one an in-guest process gate
+    # cannot see (this box is a VM: quiet in-guest samples still moved
+    # +-20% with the hypervisor's neighbors)
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:]]
+    return v[7], sum(v)
+
 def one_run():
+    s0, t0j = stat_jiffies()
     t0 = time.time()
     # narrow: the map runs straight off the (many-file, size-balanced)
     # scan with no pre-shuffle — the layout a bucketed store gives you;
@@ -59,21 +69,24 @@ def one_run():
                               add_turn_seq=False)
     lin = lineage_summary(out).collect()
     wall = time.time() - t0
+    s1, t1j = stat_jiffies()
+    steal_pct = round(100.0 * (s1 - s0) / max(1, t1j - t0j), 2)
     times = sorted(r["wall_ms"] for r in lin if r["n_turns"] > 0)
     med = times[len(times) // 2] if times else 0
-    return wall, {{"max_part_ms": times[-1] if times else 0,
+    return wall, steal_pct, {{"max_part_ms": times[-1] if times else 0,
                   "median_part_ms": med,
                   "n_parts": len(times),
                   "total_turns": int(sum(r["n_turns"] for r in lin)),
                   "n_errors": int(sum(r["n_errors"] for r in lin))}}
 
 one_run()  # warmup
-walls, skew = [], None
+walls, steals, skew = [], [], None
 for _ in range(runs):
-    w, skew = one_run()
+    w, sp, skew = one_run()
     walls.append(w)
+    steals.append(sp)
 print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "walls": walls,
-                             "skew": skew}}))
+                             "steal_pct": steals, "skew": skew}}))
 spark.stop()
 """
 
@@ -181,8 +194,10 @@ def main() -> None:
         # alternate the levels so drifting ambient load (shared host)
         # biases neither side; each sample is a fresh JVM (1 warmup + 1
         # timed run)
-        lo = {"cpus": args.low, "n_turns": None, "walls": [], "skew": None}
-        hi = {"cpus": args.high, "n_turns": None, "walls": [], "skew": None}
+        lo = {"cpus": args.low, "n_turns": None, "walls": [],
+              "steal_pct": [], "skew": None}
+        hi = {"cpus": args.high, "n_turns": None, "walls": [],
+              "steal_pct": [], "skew": None}
         loads, cots = [], []
         for _ in range(args.runs):
             for acc, cpus in ((lo, args.low), (hi, args.high)):
@@ -192,14 +207,21 @@ def main() -> None:
                 ))
                 r = run_level(cpus, fixture, 1, narrow=args.narrow)
                 acc["walls"].extend(r["walls"])
+                acc["steal_pct"].extend(r.get("steal_pct", []))
                 acc["n_turns"] = r["n_turns"]
                 acc["skew"] = r["skew"]
         # the gate metadata that makes each sample auditable: quiet-by-
-        # measurement, not quiet-by-assumption (r6 protocol upgrade)
+        # measurement, not quiet-by-assumption (r6 protocol upgrade).
+        # steal_pct (r7): per-sample hypervisor steal time measured
+        # INSIDE the timed region — the co-tenant signal the in-guest
+        # process gate cannot see on a VM host; a sample with high steal
+        # is externally perturbed no matter how quiet the guest was.
         print(json.dumps({"ambient_load_at_start": loads,
                           "cotenant_cpus_at_start": cots,
                           "cotenant_gate": args.quiet_cotenant}))
-        print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"]}))
+        print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"],
+                          "lo_steal_pct": lo["steal_pct"],
+                          "hi_steal_pct": hi["steal_pct"]}))
     else:
         lo = run_level(args.low, fixture, args.runs)
         hi = run_level(args.high, fixture, args.runs)
@@ -225,6 +247,11 @@ def main() -> None:
         "pass_0.8": eff >= 0.8,
         "skew_high": hi["skew"],
     }
+    if lo.get("steal_pct"):
+        summary["median_steal_pct"] = {
+            f"local{args.low}": round(statistics.median(lo["steal_pct"]), 2),
+            f"local{args.high}": round(statistics.median(hi["steal_pct"]), 2),
+        }
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
