@@ -73,20 +73,31 @@ def one_run():
     steal_pct = round(100.0 * (s1 - s0) / max(1, t1j - t0j), 2)
     times = sorted(r["wall_ms"] for r in lin if r["n_turns"] > 0)
     med = times[len(times) // 2] if times else 0
+    turns = int(sum(r["n_turns"] for r in lin))
+    # in-kernel per-turn cost from the lineage rows: the per-core speed
+    # probe — the kernel does IDENTICAL per-turn work at every level,
+    # so us_per_turn(lo) vs us_per_turn(hi) separates "each core got
+    # slower when 4x as many are busy" (clock/memory-bandwidth, a host
+    # property) from parallelization overhead (our property)
+    kernel_s = sum(r["wall_ms"] for r in lin) / 1000.0
     return wall, steal_pct, {{"max_part_ms": times[-1] if times else 0,
                   "median_part_ms": med,
                   "n_parts": len(times),
-                  "total_turns": int(sum(r["n_turns"] for r in lin)),
-                  "n_errors": int(sum(r["n_errors"] for r in lin))}}
+                  "total_turns": turns,
+                  "n_errors": int(sum(r["n_errors"] for r in lin))}}, \
+        round(kernel_s, 2), round(1e6 * kernel_s / max(1, turns), 2)
 
 one_run()  # warmup
-walls, steals, skew = [], [], None
+walls, steals, kcpus, upts, skew = [], [], [], [], None
 for _ in range(runs):
-    w, sp, skew = one_run()
+    w, sp, skew, ks, upt = one_run()
     walls.append(w)
     steals.append(sp)
+    kcpus.append(ks)
+    upts.append(upt)
 print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "walls": walls,
-                             "steal_pct": steals, "skew": skew}}))
+                             "steal_pct": steals, "kernel_cpu_s": kcpus,
+                             "us_per_turn": upts, "skew": skew}}))
 spark.stop()
 """
 
@@ -195,9 +206,9 @@ def main() -> None:
         # biases neither side; each sample is a fresh JVM (1 warmup + 1
         # timed run)
         lo = {"cpus": args.low, "n_turns": None, "walls": [],
-              "steal_pct": [], "skew": None}
+              "steal_pct": [], "us_per_turn": [], "skew": None}
         hi = {"cpus": args.high, "n_turns": None, "walls": [],
-              "steal_pct": [], "skew": None}
+              "steal_pct": [], "us_per_turn": [], "skew": None}
         loads, cots = [], []
         for _ in range(args.runs):
             for acc, cpus in ((lo, args.low), (hi, args.high)):
@@ -208,6 +219,7 @@ def main() -> None:
                 r = run_level(cpus, fixture, 1, narrow=args.narrow)
                 acc["walls"].extend(r["walls"])
                 acc["steal_pct"].extend(r.get("steal_pct", []))
+                acc["us_per_turn"].extend(r.get("us_per_turn", []))
                 acc["n_turns"] = r["n_turns"]
                 acc["skew"] = r["skew"]
         # the gate metadata that makes each sample auditable: quiet-by-
@@ -221,7 +233,9 @@ def main() -> None:
                           "cotenant_gate": args.quiet_cotenant}))
         print(json.dumps({"lo_walls": lo["walls"], "hi_walls": hi["walls"],
                           "lo_steal_pct": lo["steal_pct"],
-                          "hi_steal_pct": hi["steal_pct"]}))
+                          "hi_steal_pct": hi["steal_pct"],
+                          "lo_us_per_turn": lo["us_per_turn"],
+                          "hi_us_per_turn": hi["us_per_turn"]}))
     else:
         lo = run_level(args.low, fixture, args.runs)
         hi = run_level(args.high, fixture, args.runs)
@@ -252,6 +266,27 @@ def main() -> None:
             f"local{args.low}": round(statistics.median(lo["steal_pct"]), 2),
             f"local{args.high}": round(statistics.median(hi["steal_pct"]), 2),
         }
+    if lo.get("us_per_turn"):
+        # Per-core speed at each level, measured from IDENTICAL
+        # in-kernel work (lineage wall_ms / turns). us_lo < us_hi means
+        # each busy core ran faster with only `low` of them busy
+        # (turbo / memory-bandwidth headroom) — a host property that
+        # mechanically depresses wall-ratio efficiency on a
+        # frequency-scaled box while real clusters run N and 4N
+        # executors on identically-clocked hardware.
+        # clock_corrected_efficiency re-prices the lo wall at the hi
+        # level's per-core speed: T_lo_corr = T_lo * (us_hi / us_lo),
+        # so eff_corr = eff_wall * (us_hi / us_lo).
+        u_lo = statistics.median(lo["us_per_turn"])
+        u_hi = statistics.median(hi["us_per_turn"])
+        summary["us_per_turn"] = {
+            f"local{args.low}": round(u_lo, 2),
+            f"local{args.high}": round(u_hi, 2),
+        }
+        summary["core_speed_ratio_lo_over_hi"] = round(u_hi / u_lo, 4)
+        summary["clock_corrected_efficiency"] = round(
+            eff * (u_hi / u_lo), 3
+        )
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
