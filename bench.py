@@ -68,6 +68,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
         "dedup_exact": mk("dedup_exact"),
         "sim_embedding_topk": mk("sim_embedding_topk"),
         "sim_ivf_assign": mk("sim_ivf_assign"),
+        # r7 addition: batched-query ANN (k-means + broadcast probe
+        # block + per-query top-k vs brute force for 8 queries)
+        "sim_ivf_batch_search": mk("sim_ivf_batch_search"),
         "text_token_stats": mk("text_token_stats"),
         "pricing_summary": mk("pricing_summary"),
         "event_sessionize": mk("event_sessionize"),
