@@ -206,24 +206,34 @@ def order_cells(rects: np.ndarray) -> np.ndarray:
     cell height (BASELINE.json:6 "sorts cells by (row, col)"); stable and
     deterministic. Returns int64 (n, 6): (row, col, x, y, w, h).
     """
-    if len(rects) == 0:
+    n = len(rects)
+    if n == 0:
         return np.empty((0, 6), np.int64)
     yc = rects[:, 1] + rects[:, 3] / 2.0
     xc = rects[:, 0] + rects[:, 2] / 2.0
     gap = max(2.0, float(np.median(rects[:, 3])) / 2.0)
     order = np.lexsort((xc, yc))
-    row_id = np.zeros(len(rects), dtype=np.int64)
-    rid = 0
-    prev_y = yc[order[0]]
-    for k in order:
-        if yc[k] - prev_y > gap:
-            rid += 1
-        row_id[k] = rid
-        prev_y = yc[k]
-    out = []
-    for r in range(rid + 1):
-        idx = np.flatnonzero(row_id == r)
-        idx = idx[np.argsort(xc[idx], kind="stable")]
-        for c, k in enumerate(idx):
-            out.append((r, c, *rects[k]))
-    return np.array(out, dtype=np.int64)
+    # row ids: a new row starts when the gap to the PREVIOUS center (in
+    # (yc, xc) order) exceeds `gap` — the same chained comparison the
+    # old per-element loop made, as one vectorized diff + cumsum
+    ys = yc[order]
+    brk = np.empty(n, dtype=np.int64)
+    brk[0] = 0
+    np.greater(ys[1:] - ys[:-1], gap, out=brk[1:], casting="unsafe")
+    row_id = np.empty(n, dtype=np.int64)
+    row_id[order] = np.cumsum(brk)
+    # final order: by row, then x-center, ties by original index — the
+    # stable per-row argsort of the loop form, as one lexsort
+    final = np.lexsort((np.arange(n), xc, row_id))
+    rows_f = row_id[final]
+    # col = position within the row run
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    np.not_equal(rows_f[1:], rows_f[:-1], out=start[1:])
+    idx = np.arange(n, dtype=np.int64)
+    col = idx - np.maximum.accumulate(np.where(start, idx, 0))
+    out = np.empty((n, 6), dtype=np.int64)
+    out[:, 0] = rows_f
+    out[:, 1] = col
+    out[:, 2:] = rects[final]
+    return out

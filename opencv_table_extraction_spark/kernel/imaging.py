@@ -59,10 +59,22 @@ def otsu_threshold(gray: np.ndarray) -> tuple[int, np.ndarray]:
     bins [0..t]. Ties resolve to the smallest t (np.argmax), so the result
     is deterministic. Matches THRESH_BINARY_INV: pixels <= t become 255.
     """
-    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    counts = np.bincount(gray.ravel(), minlength=256)
+    nz = np.flatnonzero(counts)
+    if nz.size <= 2:
+        # <=2 distinct gray levels: sigma_b is 0 outside [v0, v1) and
+        # constant inside, so argmax = v0 (or 0 when degenerate) — skip
+        # the 256-bin float pass. Exactly equal to the general branch:
+        # for {v0 < v1}, omega/mu are flat on [v0, v1) and denom = 0
+        # elsewhere; for a single value or empty image every sigma_b
+        # entry is 0 and argmax = 0. Rendered tables are pure {0, 255},
+        # so the hot path always lands here.
+        if nz.size == 0:
+            return 0, np.zeros_like(gray, dtype=np.uint8)
+        thr = int(nz[0]) if nz.size == 2 else 0
+        return thr, np.where(gray <= thr, np.uint8(255), np.uint8(0))
+    hist = counts.astype(np.float64)
     total = hist.sum()
-    if total == 0:
-        return 0, np.zeros_like(gray, dtype=np.uint8)
     p = hist / total
     omega = np.cumsum(p)
     mu = np.cumsum(p * np.arange(256, dtype=np.float64))

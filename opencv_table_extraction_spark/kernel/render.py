@@ -75,9 +75,12 @@ def classify_payload(text: str) -> str:
     """
     if text.lstrip().startswith("[[scan]]"):
         return "scan"
-    pipe_rows = sum(1 for ln in text.splitlines() if _PIPE_ROW.match(ln))
-    if pipe_rows >= 2:
-        return "table"
+    pipe_rows = 0
+    for ln in text.splitlines():
+        if _PIPE_ROW.match(ln):
+            pipe_rows += 1
+            if pipe_rows >= 2:
+                return "table"
     if _TAG.search(text):
         return "html"
     return "plain"
@@ -169,15 +172,29 @@ def render_table(pt: ParsedTable, noise_seed: int = 0) -> tuple[np.ndarray, np.n
     xs = sorted({int(rc[0]) - LINE_T for rc in rects})
     for x in xs + [x1 - LINE_T]:
         img[y0:y1, x : x + LINE_T] = 0
-    # dashed "glyph" strokes: 3-on/3-off, max run 3 px << any SE length
-    for cell, (x, y, w, h) in zip(pt.cells, rects):
-        n_px = min(len(cell.text) * CHAR_W, int(w) - 8)
-        if n_px <= 0:
-            continue
-        cy = int(y) + int(h) // 2
-        for dx in range(0, n_px, 6):
-            sx = int(x) + 4 + dx
-            img[cy : cy + 2, sx : sx + min(3, n_px - dx)] = 0
+    # dashed "glyph" strokes: 3-on/3-off, max run 3 px << any SE length.
+    # A cell's dash pixels are exactly the offsets j in [0, n_px) with
+    # j % 6 < 3 at columns x+4+j, rows (cy, cy+1) — painted for ALL
+    # cells in one scatter instead of a per-cell/per-dash Python loop.
+    n_cells_r = len(pt.cells)
+    if n_cells_r:
+        lens = np.fromiter(
+            (len(c.text) for c in pt.cells), dtype=np.int64, count=n_cells_r
+        )
+        npx = np.minimum(lens * CHAR_W, rects[:, 2] - 8)
+        valid = npx > 0
+        if valid.any():
+            npx_v = npx[valid]
+            x_v = rects[valid, 0] + 4
+            cy_v = rects[valid, 1] + rects[valid, 3] // 2
+            cnt = 3 * (npx_v // 6) + np.minimum(npx_v % 6, 3)
+            starts = np.cumsum(cnt) - cnt
+            k = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts, cnt)
+            j = (k // 3) * 6 + (k % 3)
+            cols = np.repeat(x_v, cnt) + j
+            rows_px = np.repeat(cy_v, cnt)
+            img[rows_px, cols] = 0
+            img[rows_px + 1, cols] = 0
     # deterministic noise specks (2x2 px, below min_area; removed by
     # opens). Inline LCG (Numerical Recipes constants) instead of a
     # RandomState: constructing one per turn costs more than the kernel's

@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -65,26 +65,35 @@ def _bucket_ids(
 ) -> tuple[DataFrame, DataFrame]:
     """(key..., id) rows -> (bounded pair buckets, dropped-bucket stats).
 
-    Count-first hot-key exclusion: bucket sizes are counted with a cheap
-    partial-aggregated count, keys over ``max_bucket`` are broadcast
-    anti-joined out, and only then does collect_list build id arrays —
-    so no task ever materializes a degenerate bucket's array (the OOM +
-    cartesian bomb a ``where(size(ids) <= cap)`` AFTER the agg would
-    still hit). Both aggregations shuffle on the same key, so the
-    upstream exchange is reused, not recomputed.
+    Count-first hot-key exclusion: bucket sizes are counted first, keys
+    over ``max_bucket`` are broadcast anti-joined out, and only then
+    does collect_list build id arrays — so no task ever materializes a
+    degenerate bucket's array (the OOM + cartesian bomb a
+    ``where(size(ids) <= cap)`` AFTER the agg would still hit).
+
+    r8 shape (guide §2.4): both branches hang off ONE explicit
+    key-hash repartition of the band rows, so the exchange subtree —
+    which CONTAINS the upstream banding kernel — is a ReusedExchange
+    and the kernel executes once (the old partial-agg counts branch
+    re-ran the whole scan->kernel subtree a second time; band rows are
+    ~20-byte key tuples, so shipping even a degenerate bucket's rows
+    through the shared exchange costs far less than a second pass of
+    the per-doc kernel). Counts and collect_list both aggregate in
+    place on the shared partitioning — no further exchange.
 
     Returns the buckets frame (>1 ids each, all <= max_bucket) and the
     lazy ``dropped`` frame (key columns + n) enumerating every excluded
     bucket — callers attach it to their result for lineage/telemetry.
     """
-    counts = rows.groupBy(*keys).agg(F.count("*").alias("n"))
+    shuffled = rows.repartition(*[F.col(k) for k in keys])
+    counts = shuffled.groupBy(*keys).agg(F.count("*").alias("n"))
     dropped = counts.where(F.col("n") > max_bucket)
     # no broadcast hint: hot keys are usually a handful (AQE broadcasts
     # them on its own), but each needs only > max_bucket rows to
     # qualify, so an adversarial corpus can have up to N/max_bucket of
     # them — forcing a broadcast would OOM the driver exactly when the
     # cap matters most; AQE falls back to a shuffled join there
-    ok = rows.join(dropped.select(*keys), keys, "left_anti")
+    ok = shuffled.join(dropped.select(*keys), keys, "left_anti")
     buckets = (
         ok.groupBy(*keys)
         .agg(F.collect_list(collect_expr).alias("ids"))
@@ -1491,7 +1500,7 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
+def _star_edges(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One star operation of the alternating connected-components
     algorithm (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014 — public knowledge, reimplemented on DataFrames).
@@ -1503,15 +1512,24 @@ def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
       and itself, to the min of those smaller neighbors.
     Both preserve connectivity exactly; alternating them converges to
     a star forest rooted at each component's minimum in O(log n)
-    rounds. Each op is ONE groupBy exchange + one same-key join — the
-    aggregate reuses the join's hash exchange."""
+    rounds.
+
+    r8 optimization (guide §2.4): the per-node neighborhood min is a
+    ``min(...) over (partition by node)`` WINDOW instead of the old
+    groupBy + self-join — one exchange + one partition-local sort per
+    star op where the join form paid two exchanges AND (as sort-merge at
+    scale) two sorts anyway. Duplicate edges never change a min, so
+    ``dedup=False`` lets the large-star feed the small-star raw and
+    defers the distinct to once per (large, small) round — the per-round
+    canonical edge SET (what the convergence signature hashes) is
+    identical either way; only transient multiplicity differs."""
     if large:
         d = edges.unionByName(
             edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
         )
-        mins = d.groupBy("a_id").agg(F.min("b_id").alias("mn"))
+        mn = F.min("b_id").over(Window.partitionBy("a_id"))
         out = (
-            d.join(mins, "a_id")
+            d.withColumn("mn", mn)
             .where(F.col("b_id") > F.col("a_id"))
             .select(
                 F.col("b_id").alias("x"),
@@ -1524,17 +1542,14 @@ def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
         d = edges.select(
             F.col("b_id").alias("u"), F.col("a_id").alias("v")
         )
-        withm = d.join(d.groupBy("u").agg(F.min("v").alias("mn")), "u")
+        withm = d.withColumn("mn", F.min("v").over(Window.partitionBy("u")))
         out = withm.select(F.col("v").alias("x"), F.col("mn").alias("y")).unionByName(
             withm.select(F.col("u").alias("x"), F.col("mn").alias("y"))
         )
-    return (
-        out.select(
-            F.least("x", "y").alias("a_id"), F.greatest("x", "y").alias("b_id")
-        )
-        .where(F.col("a_id") != F.col("b_id"))
-        .distinct()
-    )
+    out = out.select(
+        F.least("x", "y").alias("a_id"), F.greatest("x", "y").alias("b_id")
+    ).where(F.col("a_id") != F.col("b_id"))
+    return out.distinct() if dedup else out
 
 
 def _two_star_components(
@@ -1581,11 +1596,22 @@ def _two_star_components(
         prev_sig = None
         rounds = 0
         for _ in range(max_iter):
-            nxt = _star_edges(_star_edges(edges, large=True), large=False)
+            # one distinct per round: the large-star output feeds the
+            # small-star raw (dedup=False — min is duplicate-blind, the
+            # per-round canonical SET is unchanged; see _star_edges)
+            nxt = _star_edges(
+                _star_edges(edges, large=True, dedup=False), large=False
+            )
             # truncate every round: each star op references its input
-            # 2-3x, so the logical plan would grow ~6x per round; the
-            # eager cut doubles as materialization for the signature agg
-            nxt = _truncate_lineage(nxt, reliable)
+            # 2-3x, so the logical plan would grow ~6x per round. On
+            # the localCheckpoint path the cut is NON-eager (the plan
+            # is truncated immediately either way) so the signature agg
+            # below is the one materializing job per round — the old
+            # eager cut + separate agg paid two.
+            if reliable:
+                nxt = _truncate_lineage(nxt, True)
+            else:
+                nxt = nxt.localCheckpoint(eager=False)
             rounds += 1
             sig = tuple(
                 nxt.agg(
@@ -1689,19 +1715,26 @@ class ComponentsNotConverged(RuntimeError):
 # common shape) the per-round changed-label count collapses
 # geometrically (round 2 is a small fraction of round 1), while on a
 # drifting chain the min label advances ~one hop per round and the
-# frontier stays flat. From round 3 on, if this round changed more than
-# _AUTO_BAIL_RATIO of the previous round's count, the graph is
+# frontier stays flat. From round 2 on (r8: was round 3 — a clique's
+# round-2 count already collapses toward 0, so one comparison suffices
+# and saves a ~1 s round on chain graphs), if this round changed more
+# than _AUTO_BAIL_RATIO of the previous round's count, the graph is
 # chain-shaped and the remaining budget would be wasted — bail to
-# twostar immediately instead of burning all _AUTO_MINLABEL_ROUNDS
-# (measured r7 at sf0.1/local[32]: the full 6-round budget cost +11 s
-# on the diameter-19 bench graph; bailing at round 3 halves that).
+# twostar immediately instead of burning all _AUTO_MINLABEL_ROUNDS.
 _AUTO_BAIL_RATIO = 0.5
+
+# r8 (ADVICE): never bail on a TINY frontier — a nearly-converged dense
+# graph whose last few labels trickle in (e.g. 3 -> 2 changed) would
+# otherwise false-bail into a full two-star contraction exactly where
+# the remaining min-label rounds are cheapest. Below this many changed
+# labels the bail check is skipped and min-label runs out its budget.
+_AUTO_BAIL_MIN_FRONTIER = 256
 
 # mode="auto": max rounds of min-label to attempt before falling back
 # to two-star. Dense near-dup clusters (the overwhelmingly common
 # shape) converge in 2-4 rounds of the cheaper per-round op (one join +
 # one agg vs two-star's two of each); a drifting-chain graph exits via
-# the _AUTO_BAIL_RATIO frontier check at ~round 3, so this cap only
+# the _AUTO_BAIL_RATIO frontier check at ~round 2, so this cap only
 # bounds the slow-but-still-collapsing middle ground.
 _AUTO_MINLABEL_ROUNDS = 6
 
@@ -1713,6 +1746,7 @@ def connected_components_pairs(
     mode: str = "minlabel",
     round_counter: list | None = None,
     _bail_ratio: float | None = None,
+    _bail_min_frontier: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the operator
     that turns PAIRS into dedup DECISIONS: every doc in a duplicate
@@ -1733,7 +1767,9 @@ def connected_components_pairs(
     - ``mode="auto"``: min-label for up to ``_AUTO_MINLABEL_ROUNDS``
       rounds (dense dup clusters converge in 2-4 of the cheaper
       per-round op) with the ``_AUTO_BAIL_RATIO`` frontier-decay check
-      (r7): if from round 3 the per-round changed-label count is not
+      (r7; r8: from round 2, with the _AUTO_BAIL_MIN_FRONTIER floor
+      so tiny trickling frontiers never false-bail): if the changed
+      count is not
       collapsing (chain signature — the frontier advances one hop per
       round instead of shrinking geometrically), bail immediately
       instead of burning the rest of the budget. Either exit path
@@ -1745,8 +1781,12 @@ def connected_components_pairs(
       two-star path), so callers lose nothing by not choosing.
 
     ``round_counter``: optional list; the number of propagation rounds
-    actually used is appended (tests assert the O(log n) bound). Per round: one join + one agg, labels persisted and the
-    previous round unpersisted, so lineage stays flat and the working
+    actually used is appended (tests assert the O(log n) bound). Per
+    round (r8 shape): one edges-labels join and ONE fused aggregation
+    over (messages UNION self rows) that yields the new label AND the
+    old one, so the changed count is a filter on the materialized frame
+    — no second join, no changed-count join; labels truncated and the
+    previous round released, so lineage stays flat and the working
     set is one (id, label) frame — at 100 TB that frame holds only docs
     that appear in some pair, orders of magnitude smaller than the
     corpus.
@@ -1784,7 +1824,13 @@ def connected_components_pairs(
         # of the r7 bench row, as large as the bail savings themselves).
         # Safe to release in finally: both legs return eagerly
         # lineage-truncated frames, self-contained by return time.
-        pairs = pairs.persist()
+        # r8 (ADVICE): only add — and later drop — the cache when the
+        # caller had not already persisted the frame, so auto mode never
+        # silently evicts a caller's own cache on exit.
+        sl = pairs.storageLevel
+        _we_persisted = not (sl.useMemory or sl.useDisk)
+        if _we_persisted:
+            pairs = pairs.persist()
         try:
             return connected_components_pairs(
                 pairs,
@@ -1803,7 +1849,8 @@ def connected_components_pairs(
                 pairs, max_iter, checkpoint_dir, round_counter
             )
         finally:
-            pairs.unpersist()
+            if _we_persisted:
+                pairs.unpersist()
     if mode != "minlabel":
         raise ValueError(
             f"unknown mode {mode!r}: use 'minlabel', 'twostar', or 'auto'"
@@ -1818,16 +1865,26 @@ def connected_components_pairs(
         prior_ckpt_dir = _set_ckpt_dir(
             sc, checkpoint_dir, "connected_components_pairs"
         )
-    _CKPT_EVERY = 1  # truncate EVERY round: Catalyst analysis cost is
-    # exponential in rounds-since-truncation (see docstring); the eager
-    # cut on the small label frame costs ~0.1 s, the skipped analysis
-    # tens of seconds
+    # r8 round shape (guide §2.3-2.4, measured ~1.9 s/round -> ~0.8 s):
+    #  * the neighbor-min and the label update fuse into ONE aggregation
+    #    over (neighbor messages UNION self rows) — the old form paid a
+    #    second labels join for the update and a THIRD join just to
+    #    count changed labels; here the old label rides along as `_old`
+    #    and changed = a filter-count on the already-materialized frame;
+    #  * lineage truncation is a NON-eager localCheckpoint (the plan is
+    #    truncated immediately either way) so that changed-count is the
+    #    single materializing job per round, not a separate one. The
+    #    reliable-checkpoint path keeps the eager persist-first form
+    #    (a non-eager reliable checkpoint would run the lineage twice).
+    # Truncation still happens EVERY round: Catalyst analysis cost is
+    # exponential in rounds-since-truncation (see docstring).
     e = pairs.select("a_id", "b_id")
     edges = e.unionByName(
         e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     )
-    par = pairs.sparkSession.sparkContext.defaultParallelism
-    edges = edges.repartition(par, "b_id").persist()
+    # keyed by the per-round join side (a_id), count left to AQE so the
+    # exchange is sized by bytes, not a local-core constant
+    edges = edges.repartition(F.col("a_id")).persist()
     labels = (
         edges.select(F.col("a_id").alias("id"))
         .distinct()
@@ -1843,51 +1900,51 @@ def connected_components_pairs(
         changed = -1
         prev_changed = -1
         for round_idx in range(max_iter):
-            nbr_min = (
+            msgs = (
                 edges.join(labels, edges.a_id == labels.id)
-                .groupBy("b_id")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = (
-                labels.join(nbr_min, labels.id == nbr_min.b_id, "left")
                 .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
-                    ).alias("label"),
+                    F.col("b_id").alias("id"), "label",
+                    F.lit(False).alias("_own"),
                 )
             )
-            truncate = (round_idx + 1) % _CKPT_EVERY == 0
-            if truncate:
-                if checkpoint_dir is not None:
-                    # persist first: an eager reliable checkpoint of an
-                    # UNPERSISTED frame runs the lineage twice (once for
-                    # the eager count, again for the checkpoint-write
-                    # job); the cache makes the write job a cache read,
-                    # and is dropped as soon as the files exist
-                    base = new_labels.persist()
-                    new_labels = base.checkpoint(eager=True)
-                    base.unpersist()
-                else:
-                    new_labels = new_labels.localCheckpoint(eager=True)
-                truncated.append(new_labels)
-            else:
-                new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
+            u = msgs.unionByName(
+                labels.select("id", "label", F.lit(True).alias("_own"))
             )
+            # every id has exactly ONE self row (labels is distinct), so
+            # min(label) = least(old, min neighbor label) and `_old`
+            # recovers the previous label for the changed count
+            new_full = u.groupBy("id").agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
+            if checkpoint_dir is not None:
+                # persist first: an eager reliable checkpoint of an
+                # UNPERSISTED frame runs the lineage twice (once for
+                # the eager count, again for the checkpoint-write
+                # job); the cache makes the write job a cache read,
+                # and is dropped as soon as the files exist
+                base = new_full.persist()
+                new_full = base.checkpoint(eager=True)
+                base.unpersist()
+            else:
+                new_full = new_full.localCheckpoint(eager=False)
+            truncated.append(new_full)
+            changed = new_full.where(F.col("label") != F.col("_old")).count()
             if not labels_is_truncated:
                 labels.unpersist()
-            labels = new_labels
-            labels_is_truncated = truncate
+            labels = new_full.select("id", "label")
+            labels_is_truncated = True
             if changed == 0:
                 break
+            floor = (
+                _AUTO_BAIL_MIN_FRONTIER
+                if _bail_min_frontier is None
+                else _bail_min_frontier
+            )
             if (
                 _bail_ratio is not None
-                and round_idx >= 2
+                and round_idx >= 1
+                and prev_changed >= floor
                 and changed > _bail_ratio * prev_changed
             ):
                 # frontier not collapsing — the chain-graph signature;
@@ -1946,7 +2003,7 @@ def connected_components_pairs(
         # DataFrame.unpersist (they are RDD-level persists, not
         # CacheManager entries); the ContextCleaner frees them when the
         # frames go out of scope here — same lifecycle as the returned
-        # frame's blocks. Bounded: at most rounds/_CKPT_EVERY frames of
+        # frame's blocks. Bounded: at most one frame per round of
         # one (id, label) row per pair-connected doc. RELIABLE
         # checkpoint FILES under checkpoint_dir are NOT auto-deleted
         # (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
@@ -1963,10 +2020,10 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     callers should not have to choose (r6 verdict #6): min-label with
     the frontier-decay bail, then on non-convergence two-star
     contraction on the original pairs. On THIS corpus the pair graph
-    has diameter ~19, so auto's min-label leg bails at round 3 (r7
-    measured: 547 -> 401 changed labels, ratio 0.73 > 0.5; 5.3 s at
-    sf0.1/local[32]) and lands in two-star (9.6 s warm) — certifying in
-    the driver file the exact path a caller gets by default, at a
+    has diameter ~19, so auto's min-label leg bails at round 2 (r8:
+    the frontier check starts one round earlier, with a min-frontier
+    floor) and lands in two-star — certifying in the driver file the
+    exact path a caller gets by default, at a
     measured ~1.5x of pinned-twostar on this adversarial-diameter graph
     (and ~min-label-optimal on the common dense shape). Output is
     mode-independent (property-tested equal across all three modes)."""

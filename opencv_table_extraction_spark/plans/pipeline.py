@@ -85,9 +85,11 @@ def extract_transcripts(
 
     B3: only (conv_id, turn_idx, text) cross the Arrow boundary — Catalyst
     prunes everything else out of the scan (check ReadSchema in explain).
-    B9: per-turn salting `hash(turn_idx) % salt_buckets` *within* conv_id
-    spreads hot conversations over multiple tasks; per-turn extraction is
-    embarrassingly parallel, so correctness never depends on grouping.
+    B9: ``salt_buckets`` truthy = a balanced round-robin exchange before
+    the kernel map — the limit of per-turn salting (every task gets an
+    equal row count no matter how hot any conversation is); per-turn
+    extraction is embarrassingly parallel, so correctness never depends
+    on grouping.
     B5: row_number over (conv_id, turn_idx) re-establishes stable turn
     ordering after the salted shuffle (never rely on task order).
 
@@ -99,10 +101,22 @@ def extract_transcripts(
     """
     src = df.select("conv_id", "turn_idx", "text")
     if salt_buckets:
-        salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)).alias("salt")
+        # r8 optimization (guide §2.5): per-turn extraction is
+        # embarrassingly parallel, so the balanced limit of "salt each
+        # conversation over k buckets" is a keyless round-robin exchange
+        # — every task gets an identical row count REGARDLESS of the
+        # source's conv clustering, where hash((conv_id, salt)) left a
+        # CPU-weighted ±15-20% task skew at salt_buckets=8 (measured
+        # sf0.1/local[32]: 10.4-10.9 s vs 8.5-9.5 s for the kernel
+        # stage; see OPTIMIZATION_r08.md). Row order feeding the kernel
+        # is not load-bearing: turn_seq is re-established by B5 and the
+        # oracle compares sorted output. Spark's sort-before-repartition
+        # (on by default) keeps the row->partition assignment stable
+        # under task retries. ``salt_buckets`` stays the on/off knob for
+        # the exchange; its count no longer bounds the spread (the
+        # docstring's hot-conversation goal, taken to its limit).
         n = repartition_to or df.sparkSession.sparkContext.defaultParallelism * 2
-        src = src.repartition(n, F.col("conv_id"), salt)
-        src = src.select("conv_id", "turn_idx", "text")
+        src = src.repartition(n)
     elif repartition_to:
         # unsalted but an explicit width was requested: honor it with a
         # round-robin exchange (salt_buckets=None + repartition_to=None

@@ -755,9 +755,10 @@ def test_connected_components_auto_mode(spark):
     # the two-star fallback's round count (O(log diameter))
     assert len(rounds2) == 1 and rounds2[0] <= 8, rounds2
 
-    # r7 frontier-decay bail: on a chain the changed-label count decays
-    # ~one per round (12 -> 11 -> 10 ...), so with _bail_ratio the
-    # min-label leg must give up at round 3, not burn the whole budget
+    # r7/r8 frontier-decay bail: on a chain the changed-label count
+    # decays ~one per round (12 -> 11 -> 10 ...), so with _bail_ratio
+    # (and the frontier floor disabled) the min-label leg must give up
+    # at round 2 — the earliest comparison — not burn the whole budget
     # (a COST assertion — auto's output above is already proven equal)
     import pytest
     from opencv_table_extraction_spark.operators.dedup import (
@@ -767,9 +768,17 @@ def test_connected_components_auto_mode(spark):
 
     with pytest.raises(ComponentsNotConverged) as ei:
         connected_components_pairs(
-            chain, max_iter=20, mode="minlabel", _bail_ratio=_AUTO_BAIL_RATIO
+            chain, max_iter=20, mode="minlabel", _bail_ratio=_AUTO_BAIL_RATIO,
+            _bail_min_frontier=0,
         )
-    assert ei.value.rounds_used == 3
+    assert ei.value.rounds_used == 2
+    # r8 (ADVICE): with the default _AUTO_BAIL_MIN_FRONTIER floor, a
+    # frontier this small (12 changed labels) never bails — min-label
+    # just converges (diameter < max_iter), no two-star detour
+    ok_floor = connected_components_pairs(
+        chain, max_iter=20, mode="minlabel", _bail_ratio=_AUTO_BAIL_RATIO
+    )
+    assert ok_floor.count() == 13
     # without the bail, the same call converges (diameter < max_iter)
     ok = connected_components_pairs(chain, max_iter=20, mode="minlabel")
     assert ok.count() == 13
