@@ -646,42 +646,47 @@ def jaccard_prefix_pairs_with_drops(
         .repartition(par, "doc_id")
         .mapInArrow(_shingle_rows_batches, sh_schema)
     )
-    # ex has two consumers (the df count and the ordering join). An
-    # earlier revision persisted it MEMORY_AND_DISK — at 100 TB that is
-    # a ~5-10x text-bytes shingle explosion pinned in cache, and the
-    # lazy return value gave it no unpersist point (a cache leak per
-    # invocation). Instead we let the branches share the doc_id
-    # REPARTITION exchange (ReusedExchange, plan-tested: the parquet
-    # scan executes ONCE) and re-run the ~10us/doc shingle kernel over
-    # the shuffle-resident text for the count branch — whose shingle
-    # exchange is column-pruned to keys only, so the recompute ships
-    # less data than a shared fat exchange would. Bounded memory, no
-    # cache, no double scan.
-    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    ordered = (
-        ex.join(df_tbl, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+    # r8 shape (guide §2.4, was: df-count agg + shingle join +
+    # collect_list + interpreted array_sort over (df, shingle) structs +
+    # posexplode — measured 2.9 s of the 5.5 s query at sf0.1):
+    #  * document frequency rides a COUNT window over the shingle
+    #    partition — no second pass of the shingle kernel, no join;
+    #  * the df-ascending prefix is a ROW_NUMBER window per doc over
+    #    (df, shingle) — Tungsten-codegen'd sort instead of the
+    #    interpreted per-element struct comparator, and the prefix
+    #    filter drops non-prefix rows without ever materializing a
+    #    per-doc array. Row-for-row equal to the old slice(osh, 1,
+    #    plen) + posexplode (shingles are distinct per doc, so the
+    #    (df, shingle) order is total within a doc).
+    # No persist anywhere: at 100 TB the shingle explosion is ~5-10x
+    # text bytes and the lazy return value has no unpersist point.
+    dfw = F.count("*").over(Window.partitionBy("shingle"))
+    szw = F.count("*").over(Window.partitionBy("doc_id"))
+    posw = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")
+    )
+    ranked = (
+        ex.withColumn("df", dfw)
+        .withColumn("sz", szw.cast("int"))
+        .withColumn("pos", (posw - 1).cast("int"))
     )
     plen = (
-        F.size("osh")
-        - F.ceil(F.lit(t_eff) * F.size("osh")).cast("int")
+        F.col("sz")
+        - F.ceil(F.lit(t_eff) * F.col("sz")).cast("int")
         + F.lit(1)
     )
-    pre = ordered.select(
-        "doc_id",
-        F.size("osh").alias("sz"),
-        F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
-    ).select(
-        "doc_id", "sz", "pos",
-        F.col("s.shingle").alias("shingle"), F.col("s.df").alias("df"),
+    pre = ranked.where(F.col("pos") < plen).select(
+        "doc_id", "sz", "pos", "shingle", "df"
     )
     # df-ascending prefixes already push hot shingles out of most
     # prefixes; the df bound (bucket size <= df, already in hand) drops
-    # the residue with a narrow filter — no counting pass needed
+    # the residue with a narrow filter — no counting pass needed. The
+    # dropped frame stays the (lazy) aggregate form: it is telemetry,
+    # evaluated only by its consumer, and re-runs the kernel then.
     dropped = (
-        df_tbl.where(F.col("df") > max_bucket)
-        .select("shingle", F.col("df").alias("n"))
+        ex.groupBy("shingle").agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("shingle", "n")
     )
     buckets = (
         pre.where(F.col("df") <= max_bucket)

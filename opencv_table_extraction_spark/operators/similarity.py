@@ -8,6 +8,7 @@ of the full table. Both have exact DuckDB oracles (list_dot_product)."""
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -37,19 +38,46 @@ def cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(col):
+    """sqrt(dot(x, x)) — the exact norm subexpression cosine() embeds."""
+    return F.sqrt(_dot(col, col))
+
+
+def _py_norm(vec) -> float:
+    """Driver-side twin of _norm over a literal vector: elementwise
+    products, a SEQUENTIAL left-fold sum (the same IEEE op order as the
+    JVM aggregate fold), then an IEEE-correctly-rounded sqrt — bit-
+    identical to evaluating _norm on the same literals, so hoisting a
+    codebook norm never changes a cosine by an ulp.
+
+    r8 rationale (guide §4.1): higher-order-function lambdas evaluate
+    INTERPRETED in the JVM, and cosine() recomputes both operands'
+    norms per pair — per K-centroid score that is 2K extra interpreted
+    dot products per row. Every hot path below hoists each side's norm
+    to one computation (a projection for row vectors, a literal for
+    codebook/query constants) and scores with _dot(a, b) / (na * nb),
+    the algebraically identical expression over the same doubles."""
+    s = 0.0
+    for v in vec:
+        x = float(v)
+        s += x * x
+    return math.sqrt(s)
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k of every vector vs the query vector
     (vec_id = QUERY_VEC_ID), excluding the query itself."""
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _norm(F.col("embedding")).alias("_nq"),
     )
     scored = e.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * F.col("_nq")
+    )
     return (
-        scored.select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos"),
-        )
+        scored.select("vec_id", F.round(cos, 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
@@ -69,22 +97,26 @@ LIMIT {TOP_K}
 """
 
 
-def _codebook_lit(rows) -> F.Column:
-    """Centroid rows (ordered by id) -> array<array<double>> literal."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["embedding"]]) for r in rows]
-    )
-
-
-def assign_to_codebook(e: DataFrame, cent_arr) -> DataFrame:
+def assign_to_codebook(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment as a NARROW per-row argmax: score all
     K centroids into one array column and take array_position of the
     max. Zero shuffle — the r1 formulation (crossJoin + row_number
     window) shuffled N*K scored rows just to argmax over K. Ties break
     to the smallest centroid_id (array_position returns the first max),
-    matching the oracle's ORDER BY cos DESC, centroid_id."""
-    scored = e.withColumn(
-        "scores", F.transform(cent_arr, lambda c: cosine(F.col("embedding"), c))
+    matching the oracle's ORDER BY cos DESC, centroid_id.
+
+    r8: takes the PYTHON codebook (not a prebuilt literal) so centroid
+    norms ride along as a literal array and the row norm is computed
+    once per row — the K interpreted per-centroid cosines each collapse
+    to one dot product (see _py_norm)."""
+    norms_lit = F.array(*[F.lit(_py_norm(c)) for c in cents])
+    scored = e.withColumn("_ne", _norm(F.col("embedding"))).withColumn(
+        "scores",
+        F.zip_with(
+            _kmeans_lit(cents),
+            norms_lit,
+            lambda c, n: _dot(F.col("embedding"), c) / (F.col("_ne") * n),
+        ),
     )
     pos = F.array_position(F.col("scores"), F.array_max("scores"))
     return scored.select(
@@ -107,7 +139,7 @@ def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    return assign_to_codebook(e, _codebook_lit(cents))
+    return assign_to_codebook(e, [[float(v) for v in r["embedding"]] for r in cents])
 
 
 _SQL_IVF = f"""
@@ -160,10 +192,17 @@ def kmeans_centroids(
     cents = [[float(v) for v in r["embedding"]] for r in rows]
     dim = len(cents[0])
     for _ in range(n_iter):
+        norms_lit = F.array(*[F.lit(_py_norm(c)) for c in cents])
         assigned = (
-            e.withColumn(
+            e.withColumn("_ne", _norm(F.col("embedding")))
+            .withColumn(
                 "scores",
-                F.transform(_kmeans_lit(cents), lambda c: cosine(F.col("embedding"), c)),
+                F.zip_with(
+                    _kmeans_lit(cents),
+                    norms_lit,
+                    lambda c, n: _dot(F.col("embedding"), c)
+                    / (F.col("_ne") * n),
+                ),
             )
             .select(
                 (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
@@ -230,7 +269,7 @@ def ivf_search(
         for v in e.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
     ]
     probe = _select_probe(cents, q, n_probe)
-    assigned = assign_to_codebook(e, _kmeans_lit(cents)).select(
+    assigned = assign_to_codebook(e, cents).select(
         "vec_id", "centroid_id"
     )
     q_lit = F.array(*[F.lit(v) for v in q])
@@ -239,12 +278,12 @@ def ivf_search(
         "vec_id",
         "left_semi",
     )
+    cos = _dot(F.col("embedding"), q_lit) / (
+        _norm(F.col("embedding")) * F.lit(_py_norm(q))
+    )
     return (
         bucketed.where(F.col("vec_id") != query_vec_id)
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), q_lit), 4).alias("cos"),
-        )
+        .select("vec_id", F.round(cos, 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
@@ -260,7 +299,7 @@ def ivf_write_partitioned(
     the codebook so searches reuse the exact clustering."""
     e = _emb(spark, sf_dir)
     cents = kmeans_centroids(e, n_iter=n_iter)
-    assigned = assign_to_codebook(e, _kmeans_lit(cents)).select(
+    assigned = assign_to_codebook(e, cents).select(
         "vec_id", "centroid_id"
     )
     e.join(assigned, "vec_id").select(
@@ -287,10 +326,11 @@ def ivf_search_store(
     if exclude_vec_id is not None:
         df = df.where(F.col("vec_id") != exclude_vec_id)
     q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col("embedding"), q_lit) / (
+        _norm(F.col("embedding")) * F.lit(_py_norm(query_vec))
+    )
     return (
-        df.select(
-            "vec_id", F.round(cosine(F.col("embedding"), q_lit), 4).alias("cos")
-        )
+        df.select("vec_id", F.round(cos, 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
@@ -306,9 +346,15 @@ def probe_assignments(
     sim_ivf_assign shape), sort (cos desc, centroid_id asc) via an
     array_sort over (neg-cos, id) structs, keep the first n_probe."""
     cent_arr = _kmeans_lit(cents)
+    norms_lit = F.array(*[F.lit(_py_norm(c)) for c in cents])
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    scored = queries.withColumn(
-        "_scores", F.transform(cent_arr, lambda c: cosine(F.col("embedding"), c))
+    scored = queries.withColumn("_ne", _norm(F.col("embedding"))).withColumn(
+        "_scores",
+        F.zip_with(
+            cent_arr,
+            norms_lit,
+            lambda c, n: _dot(F.col("embedding"), c) / (F.col("_ne") * n),
+        ),
     )
     ranked = F.array_sort(
         F.zip_with(
@@ -363,15 +409,18 @@ def ivf_batch_search(
          across engines and partitionings).
 
     Returns (query_id, vec_id, cos, rank), rank 1-based."""
-    qp = probe_assignments(queries, cents, n_probe)
-    scored = store.join(F.broadcast(qp), "centroid_id")
+    qp = probe_assignments(queries, cents, n_probe).withColumn(
+        "_nq", _norm(F.col("q_embedding"))
+    )
+    scored = store.withColumn("_ne", _norm(F.col("embedding"))).join(
+        F.broadcast(qp), "centroid_id"
+    )
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos"),
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        F.col("_ne") * F.col("_nq")
     )
+    scored = scored.select("query_id", "vec_id", F.round(cos, 4).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
@@ -382,7 +431,7 @@ def assigned_store(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     """The in-session store shape: embeddings + their centroid bucket
     (what ivf_write_partitioned persists, minus the physical layout)."""
     return e.join(
-        assign_to_codebook(e, _kmeans_lit(cents)).select("vec_id", "centroid_id"),
+        assign_to_codebook(e, cents).select("vec_id", "centroid_id"),
         "vec_id",
     ).select("vec_id", "embedding", "centroid_id")
 
@@ -404,14 +453,18 @@ def _q_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_batch_search(assigned_store(e, cents), cents, queries).select(
         "query_id", "vec_id"
     )
+    qb = queries.select(
+        "query_id",
+        F.col("embedding").alias("q_embedding"),
+        _norm(F.col("embedding")).alias("_nq"),
+    )
+    bcos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * F.col("_nq")
+    )
     brute = (
-        e.crossJoin(F.broadcast(queries.select("query_id", F.col("embedding").alias("q_embedding"))))
+        e.crossJoin(F.broadcast(qb))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos"),
-        )
+        .select("query_id", "vec_id", F.round(bcos, 4).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     brute = (
