@@ -71,33 +71,39 @@ def _bucket_ids(
     degenerate bucket's array (the OOM + cartesian bomb a
     ``where(size(ids) <= cap)`` AFTER the agg would still hit).
 
-    r8 shape (guide §2.4): both branches hang off ONE explicit
-    key-hash repartition of the band rows, so the exchange subtree —
-    which CONTAINS the upstream banding kernel — is a ReusedExchange
-    and the kernel executes once (the old partial-agg counts branch
-    re-ran the whole scan->kernel subtree a second time; band rows are
-    ~20-byte key tuples, so shipping even a degenerate bucket's rows
-    through the shared exchange costs far less than a second pass of
-    the per-doc kernel). Counts and collect_list both aggregate in
-    place on the shared partitioning — no further exchange.
+    r8 shape (guide §2.4): ONE key-hash exchange, ONE kernel pass. The
+    bucket size rides a COUNT window over the key partition and the
+    1 < n <= max_bucket filter runs BEFORE collect_list, which then
+    aggregates in place on the window's partitioning (no further
+    exchange, no anti-join). The r7 count-first form never shipped a
+    degenerate bucket's rows (partial-agg counts + anti-join before the
+    array exchange) but paid a SECOND full scan->banding-kernel pass
+    for the counts branch — and Catalyst/AQE does not dedupe Python
+    MapInArrow subtrees (verified in the executed plan: two kernel
+    instances, no ReusedExchange), so that second pass was real. Band
+    rows are ~20-byte key tuples: shipping even a pathological bucket's
+    rows once (window-buffered, disk-spillable, never an array) costs
+    far less than re-running the per-doc kernel over the whole corpus.
 
     Returns the buckets frame (>1 ids each, all <= max_bucket) and the
     lazy ``dropped`` frame (key columns + n) enumerating every excluded
-    bucket — callers attach it to their result for lineage/telemetry.
+    bucket — callers attach it to their result for lineage/telemetry
+    (consuming it re-runs the banding subtree up to a partial count, as
+    before).
     """
-    shuffled = rows.repartition(*[F.col(k) for k in keys])
-    counts = shuffled.groupBy(*keys).agg(F.count("*").alias("n"))
-    dropped = counts.where(F.col("n") > max_bucket)
-    # no broadcast hint: hot keys are usually a handful (AQE broadcasts
-    # them on its own), but each needs only > max_bucket rows to
-    # qualify, so an adversarial corpus can have up to N/max_bucket of
-    # them — forcing a broadcast would OOM the driver exactly when the
-    # cap matters most; AQE falls back to a shuffled join there
-    ok = shuffled.join(dropped.select(*keys), keys, "left_anti")
-    buckets = (
-        ok.groupBy(*keys)
-        .agg(F.collect_list(collect_expr).alias("ids"))
-        .where(F.size("ids") > 1)
+    n = F.count("*").over(Window.partitionBy(*keys))
+    bounded = (
+        rows.repartition(*[F.col(k) for k in keys])
+        .withColumn("_n", n)
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+    )
+    buckets = bounded.groupBy(*keys).agg(
+        F.collect_list(collect_expr).alias("ids")
+    )
+    dropped = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
     )
     return buckets, dropped
 
@@ -660,14 +666,14 @@ def jaccard_prefix_pairs_with_drops(
     #    (df, shingle) order is total within a doc).
     # No persist anywhere: at 100 TB the shingle explosion is ~5-10x
     # text bytes and the lazy return value has no unpersist point.
+    # ex's own sz column IS the per-doc distinct-shingle count the old
+    # size(osh) recomputed, so only two windows are needed
     dfw = F.count("*").over(Window.partitionBy("shingle"))
-    szw = F.count("*").over(Window.partitionBy("doc_id"))
     posw = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "shingle")
     )
     ranked = (
         ex.withColumn("df", dfw)
-        .withColumn("sz", szw.cast("int"))
         .withColumn("pos", (posw - 1).cast("int"))
     )
     plen = (
@@ -859,40 +865,41 @@ def containment_pairs_with_drops(
         .repartition(par, "doc_id")
         .mapInArrow(_shingle_rows_batches, sh_schema)
     )
-    # same ReusedExchange-sharing rationale as the Jaccard prefix join:
-    # no persist — branches share the doc_id repartition exchange
-    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    joined = ex.join(df_tbl, "shingle")
-    bside = joined.where(F.col("df") <= max_bucket).select(
+    # r8: same window rewrite as the Jaccard prefix join (see there) —
+    # df rides a count window over the shingle partition (no df join,
+    # no second kernel pass), the contained side's df-ascending prefix
+    # is a row_number per doc (Tungsten sort, no collect_list /
+    # interpreted array_sort / posexplode), and ex's own sz column is
+    # the per-doc distinct-shingle count the old size(osh) recomputed.
+    withdf = ex.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    bside = withdf.where(F.col("df") <= max_bucket).select(
         "shingle", F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz")
     )
-    ordered = (
-        joined
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+    posw = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")
     )
+    ranked = withdf.withColumn("pos", (posw - 1).cast("int"))
     plen = (
-        F.size("osh")
-        - F.ceil(F.lit(t_eff) * F.size("osh")).cast("int")
+        F.col("sz")
+        - F.ceil(F.lit(t_eff) * F.col("sz")).cast("int")
         + F.lit(1)
     )
     aside = (
-        ordered.select(
-            "doc_id",
-            F.size("osh").alias("a_sz"),
-            F.posexplode(F.slice(F.col("osh"), 1, plen)).alias("pos", "s"),
-        )
+        ranked.where(F.col("pos") < plen)
         .select(
-            F.col("s.shingle").alias("shingle"),
+            "shingle",
             F.col("doc_id").alias("a_id"),
-            "a_sz", "pos",
-            F.col("s.df").alias("df"),
+            F.col("sz").alias("a_sz"),
+            "pos", "df",
         )
         .where(F.col("df") <= max_bucket)
     )
     dropped = (
-        df_tbl.where(F.col("df") > max_bucket)
-        .select("shingle", F.col("df").alias("n"))
+        ex.groupBy("shingle").agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("shingle", "n")
     )
     need = F.ceil(F.lit(t_eff) * F.col("a_sz"))
     cand = (
