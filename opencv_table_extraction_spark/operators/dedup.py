@@ -1713,12 +1713,21 @@ class ComponentsNotConverged(RuntimeError):
 
     Raised instead of silently emitting split clusters; ``mode="auto"``
     catches exactly this and falls back to the O(log diameter) two-star
-    contraction on the ORIGINAL pairs. ``rounds_used`` carries how many
-    propagation rounds ran before the raise."""
+    contraction. ``rounds_used`` carries how many propagation rounds ran
+    before the raise; ``partial_labels`` (r8) carries the last
+    checkpointed (id, label) frame so auto can contract the graph by the
+    labels already computed instead of discarding that work — label(u)
+    is always a node id inside u's component and the component minimum
+    keeps itself as label, so the label-quotient graph has exactly the
+    original components (with minima preserved) at a fraction of the
+    edges and diameter."""
 
-    def __init__(self, msg: str, rounds_used: int = 0):
+    def __init__(
+        self, msg: str, rounds_used: int = 0, partial_labels=None
+    ):
         super().__init__(msg)
         self.rounds_used = rounds_used
+        self.partial_labels = partial_labels
 
 
 # mode="auto": frontier-decay bail threshold. A COST heuristic, never a
@@ -1854,12 +1863,44 @@ def connected_components_pairs(
                 # chain graph, stop wasting the budget after ~3 rounds
                 _bail_ratio=_AUTO_BAIL_RATIO,
             )
-        except ComponentsNotConverged:
+        except ComponentsNotConverged as e:
             # the failed attempt appended nothing to round_counter and
-            # its caches were released in the minlabel finally block
-            return _two_star_components(
-                pairs, max_iter, checkpoint_dir, round_counter
+            # its caches were released in the minlabel finally block —
+            # except the last checkpointed label frame, which r8 reuses:
+            # contract the graph by those labels (label(u) is a node id
+            # inside u's component, and the component minimum keeps
+            # itself as label, so the quotient has exactly the original
+            # components with minima preserved — at the bench graph,
+            # 3,414 pairs contract to ~210 quotient edges and two-star
+            # needs 3 rounds instead of 5), run two-star on the
+            # quotient, and compose keeper(u) = keeper_q(label(u)).
+            lab = e.partial_labels
+            if lab is None:
+                return _two_star_components(
+                    pairs, max_iter, checkpoint_dir, round_counter
+                )
+            la = lab.select(F.col("id").alias("a_id"), F.col("label").alias("_la"))
+            lb = lab.select(F.col("id").alias("b_id"), F.col("label").alias("_lb"))
+            q = (
+                pairs.select("a_id", "b_id")
+                .join(la, "a_id")
+                .join(lb, "b_id")
+                .select(F.col("_la").alias("a_id"), F.col("_lb").alias("b_id"))
             )
+            qout = _two_star_components(q, max_iter, checkpoint_dir, round_counter)
+            out = lab.join(
+                qout.select(F.col("doc_id").alias("label"), "keeper_id"),
+                "label",
+            ).select(F.col("id").alias("doc_id"), "keeper_id")
+            sizes = out.groupBy("keeper_id").agg(
+                F.count("*").alias("cluster_size")
+            )
+            out = out.join(sizes, "keeper_id").select(
+                "doc_id",
+                "keeper_id",
+                F.col("cluster_size").cast("int").alias("cluster_size"),
+            )
+            return _truncate_lineage(out, checkpoint_dir is not None)
         finally:
             if _we_persisted:
                 pairs.unpersist()
@@ -1968,6 +2009,7 @@ def connected_components_pairs(
                     f"{_bail_ratio}) — chain-shaped graph, use "
                     "mode='twostar'/'auto'",
                     rounds_used=round_idx + 1,
+                    partial_labels=labels if labels_is_truncated else None,
                 )
             prev_changed = changed
         if changed != 0:
@@ -1981,6 +2023,7 @@ def connected_components_pairs(
                 "use mode='twostar' (O(log diameter) rounds) or "
                 "mode='auto' (falls back to twostar automatically)",
                 rounds_used=max_iter,
+                partial_labels=labels if labels_is_truncated else None,
             )
         if round_counter is not None:
             round_counter.append(round_idx + 1)

@@ -784,6 +784,36 @@ def test_connected_components_auto_mode(spark):
     assert ok.count() == 13
 
 
+def test_auto_mode_quotient_composition(spark):
+    """r8: auto's fallback contracts the pair graph by the bailed
+    min-label attempt's partial labels and composes keepers through the
+    quotient. Mixed graph — a dense star (merges fully inside the
+    budget), a chain longer than the budget, and a self-loop-only node
+    — must come out identical to plain min-label with a big budget."""
+    from opencv_table_extraction_spark.operators.dedup import (
+        connected_components_pairs,
+    )
+
+    edges = (
+        [(100, 100 + i) for i in range(1, 6)]        # star, keeper 100
+        + [(i, i + 1) for i in range(12)]            # chain 0..12
+        + [(500, 500)]                               # self-loop singleton
+    )
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    want = {
+        (r["doc_id"], r["keeper_id"], r["cluster_size"])
+        for r in connected_components_pairs(df, max_iter=30,
+                                            mode="minlabel").collect()
+    }
+    got = {
+        (r["doc_id"], r["keeper_id"], r["cluster_size"])
+        for r in connected_components_pairs(df, max_iter=30,
+                                            mode="auto").collect()
+    }
+    assert got == want
+    assert (500, 500, 1) in got
+
+
 def test_sample_by_quality_strata_and_rates(spark, tmp_path):
     """Constructed docs across all three strata (the parquet corpus is
     ~all 'high', so the mid/low rate paths need planting): the kept set
