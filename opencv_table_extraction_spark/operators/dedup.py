@@ -564,13 +564,27 @@ def verify_candidate_pairs(
     ~8ms/pair because higher-order-function lambdas are interpreted, vs
     ~20us/pair for C-level Python set ops."""
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # r8 (guide §2.3 "project before the exchange", measured): the old
+    # shape repartitioned AFTER the text joins, so the one explicit
+    # exchange shipped |pairs| x two texts (~270 MB at sf0.1's 444k
+    # candidates) just to fix the kernel's width. Instead BOTH thin
+    # sides are widened explicitly BEFORE the joins — the candidate
+    # pairs (16 B/row; keeps the CPU-bound kernel exempt from AQE's
+    # byte-based coalescing whichever side the planner broadcasts) and
+    # the doc texts (one text per doc, not per pair) — so the joined
+    # pair-texts never cross an exchange: whichever join side AQE
+    # broadcasts, the output inherits an explicitly par-wide
+    # partitioning. At scale (docs too big to broadcast) the joins fall
+    # back to shuffled joins on the same thin inputs — still never an
+    # exchange of pair-expanded texts.
+    cand = cand.repartition(par, "a_id", "b_id")
     ver = (
         cand.join(docs.select(F.col("doc_id").alias("a_id"),
-                              F.col("text").alias("a_text")), "a_id")
+                              F.col("text").alias("a_text"))
+                  .repartition(par, "a_id"), "a_id")
         .join(docs.select(F.col("doc_id").alias("b_id"),
-                          F.col("text").alias("b_text")), "b_id")
-        # CPU-bound verify: explicit count exempts it from AQE coalescing
-        .repartition(par, "a_id", "b_id")
+                          F.col("text").alias("b_text"))
+              .repartition(par, "b_id"), "b_id")
         .mapInArrow(_jaccard_verify_batches, _VERIFY_SCHEMA)
     )
     return ver.where(F.col("jaccard") >= threshold)
@@ -803,14 +817,17 @@ def verify_containment_pairs(
 ) -> DataFrame:
     """Exact-containment verification of ORDERED candidate (a_id, b_id)
     pairs — same rejoin-text-once + Arrow-kernel shape as
-    verify_candidate_pairs."""
+    verify_candidate_pairs (incl. the r8 thin-side widening: pair-
+    expanded texts never cross an exchange, see there)."""
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    cand = cand.repartition(par, "a_id", "b_id")
     ver = (
         cand.join(docs.select(F.col("doc_id").alias("a_id"),
-                              F.col("text").alias("a_text")), "a_id")
+                              F.col("text").alias("a_text"))
+                  .repartition(par, "a_id"), "a_id")
         .join(docs.select(F.col("doc_id").alias("b_id"),
-                          F.col("text").alias("b_text")), "b_id")
-        .repartition(par, "a_id", "b_id")
+                          F.col("text").alias("b_text"))
+              .repartition(par, "b_id"), "b_id")
         .mapInArrow(_containment_verify_batches, _CONTAIN_SCHEMA)
     )
     return ver.where(F.col("containment") >= threshold)
