@@ -164,14 +164,16 @@ def _q_extract_order_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a match proves the kernel's detected (row, col) assignment AND
     char offsets cell-by-cell, not just the assembled text."""
     t = transcripts_from_tpch(spark, sf_dir).where(F.col("conv_id").startswith("order-"))
-    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False)
-    j = out.join(t.select("conv_id", "turn_idx", F.col("text").alias("src")),
-                 ["conv_id", "turn_idx"])
+    # r8: the kernel echoes the source payload (keep_text=True), so the
+    # span slicing reads the echo instead of a join-back through a
+    # second derivation pass (the echo is the input Arrow buffer
+    # re-emitted — byte-identical to the joined source by construction)
+    out = extract_transcripts(t, salt_buckets=8, add_turn_seq=False, keep_text=True)
     return (
-        j.select(
+        out.select(
             F.col("turn_idx").cast("bigint").alias("order_key"),
             F.explode("spans").alias("s"),
-            "src",
+            F.col("text").alias("src"),
         )
         .select(
             "order_key",

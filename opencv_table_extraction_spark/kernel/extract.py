@@ -163,15 +163,26 @@ def extract_turn(text: str, use_adaptive: bool = False) -> dict:
 
 
 def extract_batch(
-    batches: Iterable[pa.RecordBatch], use_adaptive: bool = False
+    batches: Iterable[pa.RecordBatch],
+    use_adaptive: bool = False,
+    keep_text: bool = False,
 ) -> Iterator[pa.RecordBatch]:
     """Arrow batch function for ``DataFrame.mapInArrow`` (B4).
 
     Input batches must carry (conv_id, turn_idx, text); extra columns are
     ignored (project before the map — B3). Never raises per turn: kernel
     failures land in the ``err`` column and are counted by lineage (B8).
+
+    ``keep_text=True`` (r8) echoes the input ``text`` column verbatim as
+    a trailing output column: consumers that slice span offsets out of
+    the source payload (extract_order_cells) read the echo instead of
+    join-back through a second derivation pass — the echoed Arrow column
+    is the input buffer re-emitted, so equality with the joined source
+    is by construction.
     """
     schema = arrow_out_schema()
+    if keep_text:
+        schema = schema.append(pa.field("text", pa.string()))
     for batch in batches:
         if batch.num_rows == 0:
             continue
@@ -194,4 +205,6 @@ def extract_batch(
                 cols[k].append(row[k])
             cols["proc_us"].append(int((time.perf_counter() - t0) * 1e6))
         arrays = [pa.array(cols[name], type=typ) for name, typ in OUT_FIELDS]
+        if keep_text:
+            arrays.append(batch.column("text"))
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)

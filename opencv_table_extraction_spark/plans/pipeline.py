@@ -80,6 +80,7 @@ def extract_transcripts(
     use_adaptive: bool = False,
     add_turn_seq: bool = True,
     unbounded_turn_seq: bool = False,
+    keep_text: bool = False,
 ) -> DataFrame:
     """The extraction pipeline body (B2-B5) over a transcript DataFrame.
 
@@ -122,8 +123,15 @@ def extract_transcripts(
         # round-robin exchange (salt_buckets=None + repartition_to=None
         # remains the zero-shuffle narrow mode for size-balanced scans)
         src = src.repartition(repartition_to)
-    fn = functools.partial(extract_batch, use_adaptive=use_adaptive)
-    out = src.mapInArrow(fn, OUT_SCHEMA)
+    fn = functools.partial(
+        extract_batch, use_adaptive=use_adaptive, keep_text=keep_text
+    )
+    schema = OUT_SCHEMA
+    if keep_text:
+        # the echoed source payload (see extract_batch): lets span
+        # consumers slice offsets without a join-back derivation pass
+        schema = StructType(OUT_SCHEMA.fields + [StructField("text", StringType())])
+    out = src.mapInArrow(fn, schema)
     if add_turn_seq:
         # unbounded mode takes its (conv_id, turn_idx) keys from the
         # INPUT frame — a column-pruned re-scan of the source (cheap,
