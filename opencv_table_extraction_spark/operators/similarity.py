@@ -408,7 +408,19 @@ def ivf_batch_search(
          accumulation-order-sensitive; 4dp + id tiebreak is stable
          across engines and partitionings).
 
-    Returns (query_id, vec_id, cos, rank), rank 1-based."""
+    Returns (query_id, vec_id, cos, rank), rank 1-based.
+
+    Scale bounds (documented contracts, r7 verdict items 2-3):
+      * the probe block broadcasts WITH query embeddings (~M * n_probe
+        * dim * 8 bytes, ~1 GB per million 64-dim queries): the design
+        point is store >> queries (dedup a shard against a corpus
+        store); a corpus-vs-corpus self-join exceeds broadcast limits
+        — repartition both sides on centroid_id instead for that shape;
+      * ``exclude_self=True`` compares ids ACROSS namespaces: query_id
+        must be drawn from the store's vec_id space (as in the cert
+        query), otherwise a coincidental id equality silently drops a
+        legitimate neighbor — use exclude_self=False for a disjoint
+        query-id space."""
     qp = probe_assignments(queries, cents, n_probe).withColumn(
         "_nq", _norm(F.col("q_embedding"))
     )

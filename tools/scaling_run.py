@@ -52,9 +52,14 @@ def stat_jiffies():
     # (steal, total) jiffies from /proc/stat line 1 — steal is the
     # hypervisor's co-tenant signal, the one an in-guest process gate
     # cannot see (this box is a VM: quiet in-guest samples still moved
-    # +-20% with the hypervisor's neighbors)
-    f = open("/proc/stat").readline().split()
-    v = [int(x) for x in f[1:]]
+    # +-20% with the hypervisor's neighbors). r8 (ADVICE): total sums
+    # only user..steal (fields 1-8) — guest/guest_nice are already
+    # folded into user/nice by the kernel, so counting them inflated
+    # the denominator and understated steal_pct — and the handle is
+    # closed.
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    v = [int(x) for x in f[1:9]]
     return v[7], sum(v)
 
 def one_run():
