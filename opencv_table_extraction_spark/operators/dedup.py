@@ -65,9 +65,8 @@ def _bucket_ids(
 ) -> tuple[DataFrame, DataFrame]:
     """(key..., id) rows -> (bounded pair buckets, dropped-bucket stats).
 
-    Count-first hot-key exclusion: bucket sizes are counted first, keys
-    over ``max_bucket`` are broadcast anti-joined out, and only then
-    does collect_list build id arrays — so no task ever materializes a
+    Count-first hot-key exclusion: every bucket's size is known BEFORE
+    collect_list builds any id array, so no task ever materializes a
     degenerate bucket's array (the OOM + cartesian bomb a
     ``where(size(ids) <= cap)`` AFTER the agg would still hit).
 
@@ -1877,7 +1876,7 @@ def connected_components_pairs(
                 mode="minlabel",
                 round_counter=round_counter,
                 # frontier-decay early bail (see _AUTO_BAIL_RATIO): on a
-                # chain graph, stop wasting the budget after ~3 rounds
+                # chain graph, stop wasting the budget after ~2 rounds
                 _bail_ratio=_AUTO_BAIL_RATIO,
             )
         except ComponentsNotConverged as e:
